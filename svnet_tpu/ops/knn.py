@@ -1,0 +1,70 @@
+"""Brute-force and tiled k-nearest-neighbour search.
+
+Capability parity with the reference's ``knn`` (models/utils/sv_util.py:19-25,
+duplicated in vn_util.py:14-20 and dgcnn_util.py:15-21 — one implementation
+here instead of three). The reference computes the full (B, N, N) pairwise
+negative squared distance via ``-xx - 2*x^T y - yy`` then ``topk(k)``.
+
+TPU notes:
+  * the pairwise-distance matmul maps straight onto the MXU;
+  * ``jax.lax.top_k`` runs on-device; neighbour *sets* match torch's topk
+    (tie order may differ, which cancels through the symmetric svpool);
+  * for large N a tiled Pallas kernel that never materializes (N, N) is in
+    ``svnet_tpu/ops/pallas/knn.py`` (see `knn` dispatcher there).
+
+Layout convention: channels-last, ``x: (B, N, C)`` (the reference uses
+``(B, C, N)``; channels-last is the TPU-friendly layout and what the SV models
+use internally anyway).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pairwise_neg_sqdist(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
+    """Negative squared euclidean distances.
+
+    Args:
+      x: (B, N, C) query points.
+      y: (B, M, C) reference points; defaults to ``x``.
+
+    Returns:
+      (B, N, M) array of ``-||x_i - y_j||^2`` (so larger = closer).
+    """
+    if y is None:
+        y = x
+    xx = jnp.sum(x * x, axis=-1)  # (B, N)
+    yy = jnp.sum(y * y, axis=-1)  # (B, M)
+    # HIGHEST precision: the MXU's default bf16 multiplies flip near-tie
+    # neighbours; full-f32 passes keep neighbour sets stable (parity with the
+    # reference's f32 cuBLAS matmul).
+    inner = jnp.einsum(
+        "bnc,bmc->bnm",
+        x,
+        y,
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    return 2.0 * inner - xx[:, :, None] - yy[:, None, :]
+
+
+def knn(x: jax.Array, k: int, *, include_self: bool = True) -> jax.Array:
+    """Indices of the k nearest neighbours of each point (self included).
+
+    Equivalent to reference sv_util.py:19-25: full pairwise distance + top-k.
+    The self-point has distance 0 (the maximum of the negated distances), so
+    it is always among the k results, matching the reference behaviour.
+
+    Args:
+      x: (B, N, C) point features, channels-last.
+      k: number of neighbours.
+
+    Returns:
+      (B, N, k) int32 neighbour indices into the N axis.
+    """
+    del include_self  # self always wins top-k at distance 0; kept for API clarity
+    neg_dist = pairwise_neg_sqdist(x)
+    _, idx = jax.lax.top_k(neg_dist, k)
+    return idx.astype(jnp.int32)
