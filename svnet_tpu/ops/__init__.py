@@ -6,6 +6,7 @@ from svnet_tpu.ops.graph import (
     get_graph_feature,
     get_graph_feature_cross,
     get_graph_feature_sv,
+    scalar_graph_feature,
     vn_graph_feature,
     svpool,
     svcat,
@@ -24,6 +25,7 @@ __all__ = [
     "get_graph_feature",
     "get_graph_feature_cross",
     "get_graph_feature_sv",
+    "scalar_graph_feature",
     "vn_graph_feature",
     "svpool",
     "svcat",

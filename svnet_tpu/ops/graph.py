@@ -97,6 +97,24 @@ def vn_graph_feature(
     return jnp.concatenate([nbr - ctr, ctr], axis=-1)
 
 
+def scalar_graph_feature(
+    x: jax.Array, k: int, idx: jax.Array | None = None
+) -> jax.Array:
+    """Classic DGCNN scalar edge features. ref models/utils/dgcnn_util.py:24-49.
+
+    Args:
+      x: (B, N, C) scalar point features (kNN over them if idx is None).
+
+    Returns:
+      (B, N, k, 2C) with channels [nbr - ctr, ctr].
+    """
+    if idx is None:
+        idx = knn(x, k)
+    nbr = gather_neighbors(x, idx)  # (B, N, k, C)
+    ctr = jnp.broadcast_to(x[:, :, None], nbr.shape)
+    return jnp.concatenate([nbr - ctr, ctr], axis=-1)
+
+
 def get_graph_feature_sv(
     x: SVPair, k: int, idx: jax.Array | None = None
 ) -> SVPair:
