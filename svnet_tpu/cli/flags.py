@@ -1,0 +1,69 @@
+"""Shared argparse flag surface (one module instead of 4 duplicated copies —
+the reference duplicates ~50 flags across its four mains, SURVEY.md §5.6)."""
+
+from __future__ import annotations
+
+import argparse
+
+
+def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        description=f"Point cloud {task} using {backbone.upper()} backbone (TPU)"
+    )
+    if backbone == "dgcnn":
+        model_choices = ["original", "vn", "svnet"]
+    else:
+        model_choices = ["original", "vn", "svnet", "bipointnet"]
+    p.add_argument("--model", type=str, default="svnet", choices=model_choices)
+    p.add_argument("--binary", action="store_true", help="build binary nn")
+    if task == "cls":
+        p.add_argument(
+            "--dataset", type=str, default="modelnet40",
+            choices=["modelnet40", "scanobjectnn"],
+        )
+        p.add_argument(
+            "--subset", type=str, default="hard", choices=["easy", "hard"],
+            help="only for scanobjectnn",
+        )
+    else:
+        p.add_argument("--dataset", type=str, default="shapenetpart")
+        p.add_argument("--class-choice", type=str, default=None)
+        p.add_argument("--subset", type=str, default="hard")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--epochs", type=int, default=250 if task == "cls" else 200)
+    p.add_argument("--lr", type=float, default=0.001)
+    p.add_argument("--momentum", type=float, default=0.9)
+    p.add_argument("--wd", type=float, default=1e-4)
+    p.add_argument(
+        "--num-points", type=int, default=1024 if task == "cls" else 2048
+    )
+    p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--emb-dims", type=int, default=1024)
+    p.add_argument("--k", type=int, default=20 if task == "cls" else 40)
+    p.add_argument(
+        "--rot", type=str, default="z", choices=["aligned", "z", "so3"]
+    )
+    p.add_argument(
+        "--rot-test", type=str, default="so3", choices=["aligned", "z", "so3"]
+    )
+    p.add_argument(
+        "--pooling", type=str, default="mean", choices=["mean", "max"],
+        help="VNN only: pooling method",
+    )
+    p.add_argument("--num-workers", type=int, default=8)
+    p.add_argument("--smoothing", action="store_true", default=(task == "cls"),
+                   help="label smoothing in the train loss")
+    p.add_argument("--test", metavar="PATH", default=None)
+    p.add_argument("--resume-from", metavar="PATH", default=None)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--data-dir", metavar="DATADIR", type=str, default="data")
+    p.add_argument("--save-dir", metavar="SAVEDIR", type=str, default="results")
+    p.add_argument("--checkinfo", action="store_true")
+    p.add_argument("--seed", type=int, default=1,
+                   help="fixed default (reference used wall-clock)")
+    p.add_argument("--preload", metavar="PATH", default=None,
+                   help="initialize weights from a checkpoint (KD teacher)")
+    p.add_argument("--distill", action="store_true",
+                   help="KD: train against the frozen --preload teacher")
+    p.set_defaults(backbone=backbone)
+    return p

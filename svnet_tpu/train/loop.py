@@ -1,0 +1,511 @@
+"""End-to-end train/eval drivers for classification and part segmentation.
+
+Capability parity with the reference mains (main_cls_dgcnn.py,
+main_cls_pointnet.py, main_partseg_dgcnn.py, main_partseg_pointnet.py):
+same recipes, same checkpoint/resume/best semantics, same two-file logging
+contract, same metrics — plus first-class KD (teacher preload + logit
+distillation), which the reference's logs use but its shipped code lacks
+(SURVEY.md §2.10).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from svnet_tpu import models, ops
+from svnet_tpu.data import ModelNet40, ScanObjectNNCls, ShapeNetPart, Loader
+from svnet_tpu.train import (
+    cal_loss,
+    cal_pointnet_loss,
+    make_optimizer,
+    accuracy,
+    balanced_accuracy,
+    shape_iou,
+)
+from svnet_tpu.train.checkpoint import load_checkpoint, save_checkpoint
+from svnet_tpu.train.logs import configure_logging
+from svnet_tpu.train.steps import TrainState, make_train_step, make_eval_step
+
+
+def param_count_m(params) -> float:
+    return sum(x.size for x in jax.tree.leaves(params)) / 1e6
+
+
+def _pick_loss(model_name: str):
+    """T-Net models return (logits, trans_feat) and use the regularized loss
+    (ref main_cls_pointnet.py:97-103)."""
+    if model_name in ("original", "bipointnet"):
+        return cal_pointnet_loss
+    return cal_loss
+
+
+def _build_cls_model(args, num_classes: int):
+    kw = dict(num_classes=num_classes, k=args.k)
+    if args.model == "svnet":
+        kw["binary"] = args.binary
+    if args.model == "vn":
+        kw["pooling"] = args.pooling
+    return models.get_model("cls", args.backbone, args.model, **kw)
+
+
+def _build_pseg_model(args, num_part: int):
+    kw = dict(num_part=num_part, k=args.k)
+    if args.model == "svnet":
+        kw["binary"] = args.binary
+        if args.backbone == "dgcnn":
+            kw["dropout"] = args.dropout
+    if args.model == "vn":
+        kw["pooling"] = args.pooling
+    return models.get_model("partseg", args.backbone, args.model, **kw)
+
+
+def _recipe(args) -> str:
+    if args.backbone == "pointnet":
+        return "pointnet_cls" if args.task == "cls" else "pointnet_partseg"
+    return "dgcnn"
+
+
+class _Distiller:
+    """Optional knowledge distillation: a frozen FP teacher's logits guide
+    the student via a KL term (T=4), the standard Hinton recipe. Enabled by
+    --distill with --preload TEACHER_CKPT."""
+
+    def __init__(self, model, variables, with_label: bool, temperature: float = 4.0):
+        self.model = model
+        self.variables = variables
+        self.with_label = with_label
+        self.T = temperature
+
+    def loss(self, student_logits, points, label=None):
+        args = (points, label) if self.with_label else (points,)
+        t_out = self.model.apply(self.variables, *args, False)
+        t_logits = t_out[0] if isinstance(t_out, tuple) else t_out
+        t_logits = jax.lax.stop_gradient(t_logits)
+        T = self.T
+        p_t = jax.nn.softmax(t_logits / T, axis=-1)
+        log_p_s = jax.nn.log_softmax(student_logits / T, axis=-1)
+        return -(p_t * log_p_s).sum(axis=-1).mean() * (T * T)
+
+
+def _make_state(args, model, init_batch, steps_per_epoch, with_label=False):
+    rng = jax.random.PRNGKey(args.seed)
+    if with_label:
+        variables = model.init(rng, init_batch["points"], init_batch["label"])
+    else:
+        variables = model.init(rng, init_batch["points"])
+    tx = make_optimizer(
+        binary=args.binary,
+        lr=args.lr,
+        epochs=args.epochs,
+        steps_per_epoch=steps_per_epoch,
+        momentum=args.momentum,
+        weight_decay=args.wd,
+        recipe=_recipe(args),
+    )
+    return TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+
+def run_cls(args) -> Optional[float]:
+    """Classification driver (ModelNet40 / ScanObjectNN)."""
+    args.task = "cls"
+    log_string = configure_logging(args.save_dir, "cls")
+    epoch_string = configure_logging(args.save_dir, "cls", "log")
+    epoch_string(str(vars(args)))
+
+    if args.dataset == "modelnet40":
+        ds_cls, num_classes = ModelNet40, 40
+    elif args.dataset == "scanobjectnn":
+        ds_cls, num_classes = ScanObjectNNCls, 15
+    else:
+        raise ValueError(f"unknown dataset {args.dataset!r}")
+
+    model = _build_cls_model(args, num_classes)
+    loss_fn = _pick_loss(args.model)
+
+    if args.checkinfo:
+        pts = jnp.zeros((2, args.num_points, 3))
+        variables = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), pts))
+        n = sum(np.prod(s.shape) for s in jax.tree.leaves(variables["params"]))
+        print(f"Number of Parameters: {n / 1e6:.6f}M")
+        return None
+
+    train_set = ds_cls(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="train", subset=args.subset, seed=args.seed,
+    )
+    test_set = ds_cls(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="test", subset=args.subset, seed=args.seed + 1,
+    )
+    train_loader = Loader(
+        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+    )
+    test_loader = Loader(
+        test_set, args.batch_size, shuffle=False, pad_last=True
+    )
+    log_string(
+        f"trainloader: {len(train_set)}, test_loader: {len(test_set)}"
+    )
+
+    init_batch = next(iter(test_loader))
+    state = _make_state(args, model, init_batch, len(train_loader))
+
+    # KD: teacher preload / distillation
+    distiller = None
+    if getattr(args, "preload", None):
+        teacher_model = _build_cls_model(_fp_copy(args), num_classes)
+        t_template = {
+            "epoch": 0,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "best_metric": 0.0,
+        }
+        t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
+        if t_ckpt is None:
+            raise FileNotFoundError(f"--preload {args.preload} not found")
+        if getattr(args, "distill", False):
+            distiller = _Distiller(
+                teacher_model,
+                {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
+                with_label=False,
+            )
+            log_string(f"KD teacher loaded from {args.preload}")
+        else:
+            state = state.replace(
+                params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
+            )
+            log_string(f"preloaded weights from {args.preload}")
+
+    # build steps (KD wraps the base step to add the teacher term)
+    if distiller is None:
+        train_step = jax.jit(make_train_step(model, loss_fn, rot=args.rot))
+    else:
+        train_step = jax.jit(
+            _make_kd_train_step(model, loss_fn, distiller, rot=args.rot)
+        )
+    eval_step = jax.jit(make_eval_step(model, loss_fn, rot_test=args.rot_test))
+
+    # resume / test
+    template = {
+        "epoch": 0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "best_metric": 0.0,
+    }
+    start_epoch, best_acc = 0, 0.0
+    ckpt = load_checkpoint(
+        template, args.save_dir, test=args.test,
+        resume_from=args.resume_from, resume=args.resume,
+    )
+    if ckpt is not None:
+        state = state.replace(params=ckpt["params"], batch_stats=ckpt["batch_stats"])
+        if args.test is None:
+            state = state.replace(opt_state=ckpt["opt_state"])
+            start_epoch = ckpt["epoch"] + 1
+            best_acc = ckpt["best_metric"]
+        log_string("checkpoint loaded successfully")
+    else:
+        log_string("no checkpoint loaded")
+
+    rng = jax.random.PRNGKey(args.seed + 123)
+
+    if args.test is not None:
+        acc, avg_acc, loss = _eval_cls(eval_step, state, test_loader, rng, log_string)
+        return acc
+
+    save_id = None
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        train_true, train_pred, losses, counts = [], [], [], []
+        print_freq = max(len(train_loader) // 10, 1)
+        for i, batch in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            jb = {
+                "points": jnp.asarray(batch["points"]),
+                "target": jnp.asarray(batch["target"]),
+            }
+            state, loss, preds = train_step(state, jb, step_rng)
+            losses.append(float(loss) * batch["size"])
+            counts.append(batch["size"])
+            train_true.append(batch["target"])
+            train_pred.append(np.asarray(preds))
+            if (i + 1) % print_freq == 0:
+                log_string(
+                    f"EPOCH {epoch:03d}/{args.epochs:03d} Batch {i:05d}/"
+                    f"{len(train_loader):05d}: Loss {sum(losses)/sum(counts):.8f}"
+                )
+        train_true = np.concatenate(train_true)
+        train_pred = np.concatenate(train_pred)
+        train_loss = sum(losses) / sum(counts)
+        train_acc = accuracy(train_true, train_pred)
+        train_avg = balanced_accuracy(train_true, train_pred)
+        log_string(
+            f"TRAIN: loss {train_loss:.6f}, acc {train_acc:.6f}, "
+            f"avg acc {train_avg:.6f} ({time.time()-t0:.1f}s)"
+        )
+
+        rng, eval_rng = jax.random.split(rng)
+        test_acc, test_avg, test_loss = _eval_cls(
+            eval_step, state, test_loader, eval_rng, log_string
+        )
+        is_best = test_acc >= best_acc
+        best_acc = max(best_acc, test_acc)
+        save_id = save_checkpoint(
+            {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "best_metric": best_acc,
+            },
+            epoch,
+            args.save_dir,
+            is_best,
+            save_id,
+        )
+        epoch_string(
+            f"EPOCH {epoch:03d}/{args.epochs:03d} | Test: loss {test_loss:.6f}, "
+            f"acc {test_acc:.6f}, avg acc {test_avg:.6f} | Train: loss "
+            f"{train_loss:.6f}, acc {train_acc:.6f}, avg acc {train_avg:.6f} | "
+            f"{time.strftime('%Y-%m-%d-%H-%M-%S')}"
+        )
+    return best_acc
+
+
+def _eval_cls(eval_step, state, test_loader, rng, log_string):
+    test_true, test_pred, losses, counts = [], [], [], []
+    for batch in test_loader:
+        rng, step_rng = jax.random.split(rng)
+        jb = {
+            "points": jnp.asarray(batch["points"]),
+            "target": jnp.asarray(batch["target"]),
+        }
+        loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
+        size = batch["size"]
+        losses.append(float(loss) * size)
+        counts.append(size)
+        test_true.append(batch["target"][:size])
+        test_pred.append(np.asarray(preds)[:size])
+    test_true = np.concatenate(test_true)
+    test_pred = np.concatenate(test_pred)
+    test_loss = sum(losses) / sum(counts)
+    acc = accuracy(test_true, test_pred)
+    avg = balanced_accuracy(test_true, test_pred)
+    log_string(f"TEST: loss {test_loss:.6f}, acc {acc:.6f}, avg acc {avg:.6f}")
+    return acc, avg, test_loss
+
+
+def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
+                        alpha: float = 0.5):
+    """Train step with KD: loss = (1-a)·CE + a·KL(teacher || student)."""
+
+    def step(state, batch, rng):
+        rot_rng, drop_rng = jax.random.split(rng)
+        points = ops.apply_rotation_aug(rot_rng, batch["points"], rot)
+
+        def loss_wrapped(params):
+            args_ = (points, batch["label"]) if with_label else (points,)
+            outputs, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                *args_,
+                True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_rng},
+            )
+            logits = outputs[0] if isinstance(outputs, tuple) else outputs
+            ce = base_loss(outputs, batch["target"])
+            kd = distiller.loss(
+                logits, points, batch.get("label") if with_label else None
+            )
+            return (1 - alpha) * ce + alpha * kd, (outputs, updates["batch_stats"])
+
+        (loss, (outputs, new_stats)), grads = jax.value_and_grad(
+            loss_wrapped, has_aux=True
+        )(state.params)
+        new_state = state.apply_gradients(grads, new_stats)
+        logits = outputs[0] if isinstance(outputs, tuple) else outputs
+        return new_state, loss, jnp.argmax(logits, axis=-1)
+
+    return step
+
+
+def _fp_copy(args):
+    import copy
+
+    fp = copy.copy(args)
+    fp.binary = False
+    return fp
+
+
+def run_partseg(args) -> Optional[float]:
+    """Part segmentation driver (ShapeNetPart)."""
+    args.task = "partseg"
+    log_string = configure_logging(args.save_dir, "partseg")
+    epoch_string = configure_logging(args.save_dir, "partseg", "log")
+    epoch_string(str(vars(args)))
+
+    model = _build_pseg_model(args, num_part=50)
+
+    def seg_loss(outputs, target):
+        logits = outputs[0] if isinstance(outputs, tuple) else outputs
+        base = cal_loss(logits, target, smoothing=args.smoothing)
+        if isinstance(outputs, tuple):
+            from svnet_tpu.train.losses import feature_transform_regularizer
+
+            base = base + 0.001 * feature_transform_regularizer(outputs[1])
+        return base
+
+    if args.checkinfo:
+        pts = jnp.zeros((2, args.num_points, 3))
+        lab = jnp.zeros((2, 16))
+        variables = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), pts, lab)
+        )
+        n = sum(np.prod(s.shape) for s in jax.tree.leaves(variables["params"]))
+        print(f"Number of Parameters: {n / 1e6:.6f}M")
+        return None
+
+    train_set = ShapeNetPart(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="trainval", class_choice=args.class_choice, seed=args.seed,
+    )
+    test_set = ShapeNetPart(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="test", class_choice=args.class_choice, seed=args.seed + 1,
+    )
+    train_loader = Loader(
+        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+    )
+    test_loader = Loader(test_set, args.batch_size, shuffle=False, pad_last=True)
+    log_string(f"trainloader: {len(train_set)}, test_loader: {len(test_set)}")
+
+    init_batch = next(iter(test_loader))
+    state = _make_state(args, model, init_batch, len(train_loader), with_label=True)
+
+    train_step = jax.jit(
+        make_train_step(model, seg_loss, rot=args.rot, with_label=True)
+    )
+    eval_step = jax.jit(
+        make_eval_step(model, seg_loss, rot_test=args.rot_test, with_label=True)
+    )
+
+    template = {
+        "epoch": 0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "best_metric": 0.0,
+    }
+    start_epoch, best_iou = 0, 0.0
+    ckpt = load_checkpoint(
+        template, args.save_dir, test=args.test,
+        resume_from=args.resume_from, resume=args.resume,
+    )
+    if ckpt is not None:
+        state = state.replace(params=ckpt["params"], batch_stats=ckpt["batch_stats"])
+        if args.test is None:
+            state = state.replace(opt_state=ckpt["opt_state"])
+            start_epoch = ckpt["epoch"] + 1
+            best_iou = ckpt["best_metric"]
+        log_string("checkpoint loaded successfully")
+    else:
+        log_string("no checkpoint loaded")
+
+    rng = jax.random.PRNGKey(args.seed + 123)
+
+    if args.test is not None:
+        iou, acc, loss = _eval_pseg(eval_step, state, test_loader, rng, log_string)
+        return iou
+
+    save_id = None
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        losses, counts = [], []
+        accs = []
+        print_freq = max(len(train_loader) // 10, 1)
+        for i, batch in enumerate(train_loader):
+            rng, step_rng = jax.random.split(rng)
+            jb = {
+                "points": jnp.asarray(batch["points"]),
+                "target": jnp.asarray(batch["seg"]),
+                "label": jnp.asarray(batch["label"]),
+            }
+            state, loss, preds = train_step(state, jb, step_rng)
+            losses.append(float(loss) * batch["size"])
+            counts.append(batch["size"])
+            accs.append(float((np.asarray(preds) == batch["seg"]).mean()))
+            if (i + 1) % print_freq == 0:
+                log_string(
+                    f"EPOCH {epoch:03d}/{args.epochs:03d} Batch {i:05d}/"
+                    f"{len(train_loader):05d}: Loss {sum(losses)/sum(counts):.8f}"
+                )
+        train_loss = sum(losses) / sum(counts)
+        log_string(
+            f"TRAIN: loss {train_loss:.6f}, point acc {np.mean(accs):.6f} "
+            f"({time.time()-t0:.1f}s)"
+        )
+
+        rng, eval_rng = jax.random.split(rng)
+        test_iou, test_acc, test_loss = _eval_pseg(
+            eval_step, state, test_loader, eval_rng, log_string
+        )
+        is_best = test_iou >= best_iou
+        best_iou = max(best_iou, test_iou)
+        save_id = save_checkpoint(
+            {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "best_metric": best_iou,
+            },
+            epoch,
+            args.save_dir,
+            is_best,
+            save_id,
+        )
+        epoch_string(
+            f"EPOCH {epoch:03d}/{args.epochs:03d} | Test: loss {test_loss:.6f}, "
+            f"iou {test_iou:.6f}, acc {test_acc:.6f} | Train: loss "
+            f"{train_loss:.6f} | {time.strftime('%Y-%m-%d-%H-%M-%S')}"
+        )
+    return best_iou
+
+
+def _eval_pseg(eval_step, state, test_loader, rng, log_string):
+    all_pred, all_seg, all_cat = [], [], []
+    losses, counts = [], []
+    for batch in test_loader:
+        rng, step_rng = jax.random.split(rng)
+        jb = {
+            "points": jnp.asarray(batch["points"]),
+            "target": jnp.asarray(batch["seg"]),
+            "label": jnp.asarray(batch["label"]),
+        }
+        loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
+        size = batch["size"]
+        losses.append(float(loss) * size)
+        counts.append(size)
+        all_pred.append(np.asarray(preds)[:size])
+        all_seg.append(batch["seg"][:size])
+        all_cat.append(batch["category"][:size])
+    pred = np.concatenate(all_pred)
+    seg = np.concatenate(all_seg)
+    cat = np.concatenate(all_cat)
+    ious = shape_iou(pred, seg, cat)
+    iou = float(np.mean(ious))
+    acc = float((pred == seg).mean())
+    loss = sum(losses) / sum(counts)
+    log_string(f"TEST: loss {loss:.6f}, iou {iou:.6f}, point acc {acc:.6f}")
+    return iou, acc, loss
