@@ -102,7 +102,9 @@ class _ConvBNLReLU(nn.Module):
             )(x, train)
         else:
             x = svl.Linear(self.features, use_bias=False, name="conv")(x, train)
-        x = svl.BatchNorm(name="bn")(x, train)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
+        )(x)
         return nn.leaky_relu(x, negative_slope=self.negative_slope)
 
 

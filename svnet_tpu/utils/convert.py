@@ -1,0 +1,167 @@
+"""PyTorch .pth -> flax variables converter.
+
+Satisfies the logits-parity requirement (BASELINE.json): checkpoints trained
+with the reference (including the 13 released .pth files) load into our
+models and reproduce logits to float tolerance.
+
+Mechanics (SURVEY.md §7 hard part 3):
+  * strip the DataParallel ``module.`` prefix (ref checkpoints carry it)
+  * linear weights (out, in) -> kernel (in, out) transpose; 1x1 conv weights
+    (out, in, 1) -> squeeze + transpose
+  * binarization params: beta (1, in[, 1]) -> (in,), scale (1, out[, 1]) -> (out,)
+  * batchnorm: weight/bias -> scale/bias params; running_mean/var ->
+    batch_stats mean/var; num_batches_tracked dropped; plain torch BN1d
+    modules gain a trailing /bn level (our BatchNorm wrapper), while modules
+    already ending in .bn (VectorBN/VNBatchNorm inner) map as-is
+  * model-family rename tables for the few structural differences
+    (gate.0 -> gate_fc1, Sequential conv stacks -> named conv/bn pairs)
+
+No torch dependency at import time: state dicts are accepted as mappings of
+numpy arrays; ``load_pth`` uses torch (CPU) only when reading a .pth file.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Dict, Mapping, Tuple
+
+import numpy as np
+
+# rename rules applied to every SV-family key (regex, replacement)
+_COMMON_RULES = [
+    (r"(^|\.)gate\.0\.", r"\1gate_fc1."),
+    (r"(^|\.)gate\.2\.", r"\1gate_fc2."),
+]
+
+# per-model structural renames (applied after common rules)
+MODEL_RULES: Dict[str, list] = {
+    "sv_dgcnn_cls": [],
+    "sv_dgcnn_partseg": [
+        # label branch: Sequential(Conv1d, BN, LReLU) -> Linear conv7 + bn7
+        (r"^conv7\.0\.", "conv7."),
+        (r"^conv7\.1\.", "bn7."),
+        # head stacks: Sequential(Conv1d, BN, LReLU) -> _ConvBNLReLU(conv, bn)
+        (r"^conv(8|9|10)\.0\.", r"conv\1.conv."),
+        (r"^conv(8|9|10)\.1\.", r"conv\1.bn."),
+    ],
+    "sv_pointnet_cls": [],
+    "sv_pointnet_partseg": [
+        (r"^(conv_fuse1|conv_fuse2|convs1|convs2|convs3)\.0\.", r"\1_conv."),
+        (r"^(conv_fuse1|conv_fuse2|convs1|convs2|convs3)\.1\.", r"\1_bn."),
+    ],
+    "vn_dgcnn_cls": [],
+    "vn_dgcnn_partseg": [
+        (r"^conv7\.0\.", "conv7."),
+        (r"^conv7\.1\.", "bn7."),
+        (r"^conv(8|9|10)\.0\.", r"conv\1."),
+        (r"^conv(8|9|10)\.1\.", r"bn\1."),
+    ],
+    "vn_pointnet_cls": [],
+    "vn_pointnet_partseg": [],
+}
+
+# VN layers: torch nn.Linear submodules inside VN wrappers keep their names
+# (map_to_feat/map_to_dir/vn_lin); our VNLinear stores the kernel directly,
+# so `<name>.weight` -> `<name>.kernel`(T) falls out of the generic rule.
+
+
+def _strip_module(key: str) -> str:
+    return key[len("module."):] if key.startswith("module.") else key
+
+
+def _apply_rules(key: str, rules) -> str:
+    for pat, rep in rules:
+        key = re.sub(pat, rep, key)
+    return key
+
+
+def _nest(tree: dict, path, leaf):
+    node = tree
+    for seg in path[:-1]:
+        node = node.setdefault(seg, {})
+    node[path[-1]] = leaf
+
+
+def convert_state_dict(
+    state_dict: Mapping[str, np.ndarray], model: str = "sv_dgcnn_cls"
+) -> Dict[str, dict]:
+    """Convert a torch state_dict to {'params': ..., 'batch_stats': ...}."""
+    rules = _COMMON_RULES + MODEL_RULES.get(model, [])
+    sd = {
+        _apply_rules(_strip_module(k), rules): np.asarray(v)
+        for k, v in state_dict.items()
+    }
+
+    # group by module path to detect batchnorm modules
+    modules: Dict[str, Dict[str, np.ndarray]] = {}
+    for k, v in sd.items():
+        path, _, leaf = k.rpartition(".")
+        modules.setdefault(path, {})[leaf] = v
+
+    params: dict = {}
+    batch_stats: dict = {}
+    for path, leaves in modules.items():
+        segs = path.split(".") if path else []
+        if "running_mean" in leaves:  # batchnorm module
+            if not segs or segs[-1] != "bn":
+                segs = segs + ["bn"]
+            if "weight" in leaves:
+                _nest(params, segs + ["scale"], leaves["weight"])
+            if "bias" in leaves:
+                _nest(params, segs + ["bias"], leaves["bias"])
+            _nest(batch_stats, segs + ["mean"], leaves["running_mean"])
+            _nest(batch_stats, segs + ["var"], leaves["running_var"])
+            continue
+        for leaf, v in leaves.items():
+            if leaf == "num_batches_tracked":
+                continue
+            if leaf == "weight":
+                if v.ndim == 3:  # 1x1 conv (out, in, 1)
+                    v = v[:, :, 0]
+                if v.ndim == 2:
+                    v = v.T  # (out, in) -> (in, out)
+                _nest(params, segs + ["kernel"], v)
+            elif leaf in ("beta", "scale"):
+                _nest(params, segs + [leaf], v.reshape(-1))
+            elif leaf == "bias":
+                _nest(params, segs + ["bias"], v)
+            else:  # unknown leaf: keep under its own name
+                _nest(params, segs + [leaf], v)
+    return {"params": params, "batch_stats": batch_stats}
+
+
+def load_pth(path: str, model: str = "sv_dgcnn_cls") -> Dict[str, dict]:
+    """Read a reference .pth checkpoint (CPU) and convert its state_dict."""
+    import torch
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt)
+    sd = {k: v.detach().numpy() for k, v in sd.items()}
+    return convert_state_dict(sd, model=model)
+
+
+def check_structure(converted: dict, reference: dict) -> Tuple[list, list, list]:
+    """Compare a converted variables tree against a model-init tree.
+
+    Returns (missing, unexpected, shape_mismatches) as lists of paths.
+    """
+
+    def flatten(tree, prefix=()):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out.update(flatten(v, prefix + (k,)))
+            else:
+                out[prefix + (k,)] = np.asarray(v).shape
+        return out
+
+    got = flatten(converted)
+    want = flatten(reference)
+    missing = sorted("/".join(p) for p in want.keys() - got.keys())
+    unexpected = sorted("/".join(p) for p in got.keys() - want.keys())
+    mismatched = sorted(
+        "/".join(p) + f": {got[p]} vs {want[p]}"
+        for p in got.keys() & want.keys()
+        if got[p] != want[p]
+    )
+    return missing, unexpected, mismatched
