@@ -1,0 +1,48 @@
+"""Global performance knobs.
+
+These are trace-time settings: changing them requires re-jitting (call sites
+read them during tracing). They default to maximum-parity values; bench/
+deploy configs flip them for speed.
+
+  knn_precision: matmul precision for the pairwise-distance kNN.
+    'highest'  - full f32 (6-pass on MXU). Exact parity with the reference's
+                 f32 cuBLAS matmul; the default.
+    'tensorfloat32' - 3-pass; ~2x faster, ~1e-5 relative error.
+    'default'  - single-pass bf16 multiplies (~6x faster). Near-tie
+                 neighbour flips possible (~0.4% relative distance error);
+                 symmetric pooling absorbs almost all of it.
+  binary_matmul: implementation of the binarized eval matmul.
+    'int8'     - ±1 operands cast to int8, MXU int8×int8→int32 (the TPU-
+                 native XNOR-popcount equivalent; bit-exact vs f32). Default.
+    'f32'      - plain float matmul of sign() values (reference semantics,
+                 slowest; useful for differential testing).
+"""
+
+from __future__ import annotations
+
+import jax
+
+_PRECISIONS = {
+    "highest": jax.lax.Precision.HIGHEST,
+    "tensorfloat32": jax.lax.Precision.HIGH,
+    "default": jax.lax.Precision.DEFAULT,
+}
+
+knn_precision: str = "highest"
+binary_matmul: str = "int8"
+
+
+def set_knn_precision(name: str) -> None:
+    global knn_precision
+    assert name in _PRECISIONS, name
+    knn_precision = name
+
+
+def get_knn_precision():
+    return _PRECISIONS[knn_precision]
+
+
+def set_binary_matmul(name: str) -> None:
+    global binary_matmul
+    assert name in ("int8", "f32"), name
+    binary_matmul = name

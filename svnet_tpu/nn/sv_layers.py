@@ -55,6 +55,27 @@ def binarize(x: jax.Array, train: bool) -> jax.Array:
     return ste_sign(x) if train else jnp.sign(x)
 
 
+def _binary_matmul_eval(x: jax.Array, w: jax.Array) -> jax.Array:
+    """Eval-path matmul of ±1 (or 0) operands.
+
+    This is the pure XNOR-popcount-mappable matmul (SURVEY.md §2.2): on TPU
+    the native equivalent is the MXU's int8×int8→int32 path — bit-exact
+    (values in {-1,0,1}; accumulations bounded by d_in << 2^31) and ~2x the
+    bf16 rate on v5e. Selected via svnet_tpu.config.binary_matmul.
+    """
+    from svnet_tpu import config
+
+    if config.binary_matmul == "int8":
+        y = jax.lax.dot_general(
+            x.astype(jnp.int8),
+            w.astype(jnp.int8),
+            (((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        return y.astype(x.dtype)
+    return x @ w
+
+
 # ---------------------------------------------------------------------------
 # torch-compatible initializers (training-behaviour parity)
 # ---------------------------------------------------------------------------
@@ -139,7 +160,10 @@ class Linear(nn.Module):
                 lambda _, shape: jnp.full(shape, 1.0 / math.sqrt(d_in)),
                 (self.features,),
             )
-            y = (x @ w) * scale
+            if not train and self.ba and self.bw:
+                y = _binary_matmul_eval(x, w) * scale
+            else:
+                y = (x @ w) * scale
         if self.use_bias:
             bias = self.param(
                 "bias", torch_linear_init(d_in), (self.features,)

@@ -37,15 +37,18 @@ def pairwise_neg_sqdist(x: jax.Array, y: jax.Array | None = None) -> jax.Array:
         y = x
     xx = jnp.sum(x * x, axis=-1)  # (B, N)
     yy = jnp.sum(y * y, axis=-1)  # (B, M)
-    # HIGHEST precision: the MXU's default bf16 multiplies flip near-tie
-    # neighbours; full-f32 passes keep neighbour sets stable (parity with the
-    # reference's f32 cuBLAS matmul).
+    # Precision is a global knob (svnet_tpu.config.knn_precision): 'highest'
+    # keeps neighbour sets stable under near-ties (parity with the
+    # reference's f32 cuBLAS matmul); 'default' runs single-pass bf16 on the
+    # MXU (~6x faster) at ~0.4% relative distance error.
+    from svnet_tpu import config
+
     inner = jnp.einsum(
         "bnc,bmc->bnm",
         x,
         y,
         preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
+        precision=config.get_knn_precision(),
     )
     return 2.0 * inner - xx[:, :, None] - yy[:, None, :]
 
