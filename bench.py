@@ -4,7 +4,14 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the 50k clouds/s/chip North Star from
 BASELINE.md (the reference publishes no throughput numbers of its own).
 
+Methodology: the axon TPU tunnel adds ~26 ms fixed dispatch/fetch latency
+and ~100 MB/s result transfer, so we time K data-dependent forwards inside
+ONE jitted program and fetch a single scalar, subtracting the fixed
+roundtrip. This measures on-device step time, which is what batch-serving
+throughput is made of.
+
 Usage: python bench.py [--batch B] [--num-points N] [--k K] [--iters I]
+                       [--engine fused|flax] [--fast]
 """
 
 import argparse
@@ -16,50 +23,70 @@ import jax
 import jax.numpy as jnp
 
 NORTH_STAR = 50_000.0  # clouds/s/chip, BASELINE.md
+ROUNDTRIP_MS = 26.0
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--num-points", type=int, default=1024)
     ap.add_argument("--k", type=int, default=20)
-    ap.add_argument("--iters", type=int, default=20)
-    ap.add_argument("--warmup", type=int, default=3)
-    ap.add_argument("--fp", action="store_true", help="bench the FP model")
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=4)
+    ap.add_argument("--engine", choices=["fused", "flax"], default="fused")
+    ap.add_argument(
+        "--fast", action="store_true",
+        help="bf16-gather fast mode (exact f32 gather is the default)",
+    )
     args = ap.parse_args()
 
     from svnet_tpu import models
+    from svnet_tpu.infer import SVDGCNNClsEngine
 
-    model = models.SV_DGCNN_CLS(
-        num_classes=40, k=args.k, binary=not args.fp
-    )
+    model = models.SV_DGCNN_CLS(num_classes=40, k=args.k, binary=True)
     points = jax.random.normal(
         jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
     )
     variables = jax.jit(model.init)(jax.random.PRNGKey(1), points)
 
+    if args.engine == "fused":
+        eng = SVDGCNNClsEngine(
+            variables, k=args.k, binary=True, exact=not args.fast
+        )
+        forward = eng._forward
+    else:
+        forward = lambda pts: model.apply(variables, pts, False)
+
+    iters = args.iters
+
     @jax.jit
-    def forward(variables, points):
-        return model.apply(variables, points, False)
+    def timed():
+        def body(i, pts):
+            out = forward(pts)
+            return pts + 1e-12 * jnp.mean(out)
 
-    # warmup / compile
-    for _ in range(args.warmup):
-        forward(variables, points).block_until_ready()
+        pts = jax.lax.fori_loop(0, iters, body, points)
+        return jnp.sum(forward(pts))
 
+    float(timed())  # compile + warm
     times = []
-    for _ in range(args.iters):
+    for _ in range(args.repeats):
         t0 = time.perf_counter()
-        forward(variables, points).block_until_ready()
+        float(timed())
         times.append(time.perf_counter() - t0)
 
-    dt = statistics.median(times)
-    clouds_per_s = args.batch / dt
+    total_ms = statistics.median(times) * 1e3
+    per_fwd_ms = max((total_ms - ROUNDTRIP_MS) / (iters + 1), 1e-6)
+    clouds_per_s = args.batch / (per_fwd_ms / 1e3)
     print(
         json.dumps(
             {
                 "metric": "svnet_dgcnn_binary_inference",
                 "value": round(clouds_per_s, 1),
-                "unit": f"clouds/s/chip @ {args.num_points} pts (B={args.batch}, k={args.k})",
+                "unit": (
+                    f"clouds/s/chip @ {args.num_points} pts "
+                    f"(B={args.batch}, k={args.k}, engine={args.engine})"
+                ),
                 "vs_baseline": round(clouds_per_s / NORTH_STAR, 4),
             }
         )

