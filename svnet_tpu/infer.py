@@ -32,6 +32,15 @@ from svnet_tpu.ops.pallas.sv_edge import (
     sv_edge_block,
     svblock_gate,
 )
+from svnet_tpu.ops.pallas.sv_edge_first import (
+    fold_first_params,
+    sv_edge_first_block,
+)
+from svnet_tpu.ops.pallas.sv_point import (
+    fold_point_params,
+    head_perm,
+    sv_point_block,
+)
 
 EPS = 1e-6
 BN_EPS = 1e-5
@@ -132,6 +141,28 @@ class SVDGCNNClsEngine:
             )
             for name, (S, V, _, _) in _ROUNDS.items()
         }
+        self.folded_first = jax.tree.map(
+            jnp.asarray,
+            fold_first_params(
+                self.p["init_scalar"], self.p["conv1"], self.bs["conv1"]
+            ),
+        )
+        # conv5 + svfuse tail: S_c = 256, V_c = 83 -> (512, 170)
+        self.folded_point = jax.tree.map(
+            jnp.asarray,
+            fold_point_params(
+                self.p["conv5"], self.bs["conv5"], self.p["svfuse"],
+                S=256, V=83, binary=binary,
+            ),
+        )
+        # the tail emits SVFuse channels j-major; permute the head's first
+        # linear (and its beta) to consume that layout
+        perm = head_perm(1024 // 2, 1024 // 6)
+        h1 = dict(self.p["linear1"])
+        h1["kernel"] = h1["kernel"][perm, :]
+        if "beta" in h1:
+            h1["beta"] = h1["beta"][perm]
+        self.head1 = h1
         self._jit_forward = jax.jit(self._forward)
 
     def _knn(self, x: jax.Array) -> jax.Array:
@@ -147,12 +178,17 @@ class SVDGCNNClsEngine:
         p, bs, k = self.p, self.bs, self.k
         B, N = points.shape[0], points.shape[1]
 
-        # round 1 (always FP): coords graph + conv1, plain XLA
+        # round 1 (always FP): fused first-layer kernel; gate applied here
+        # (per-(batch, channel), commutes with the kernel's mean-pool)
         idx0 = self._knn(points)
-        v = ops.get_graph_feature(points, k, idx0)  # (B, N, k, 3, 2)
-        s = _v2s_eval(p["init_scalar"], v, False)  # (B, N, k, 6)
-        s, v = _svblock_eval(p["conv1"], bs["conv1"], s, v, False)
-        s1, v1 = ops.svpool((s, v))  # (B, N, 32), (B, N, 3, 10)
+        s1, v1_flat, s_mean = sv_edge_first_block(
+            points, idx0, self.folded_first,
+            S_out=64 // 2, V_out=64 // 6, k=k, T=self.tile,
+            exact=self.exact, interpret=self.interpret,
+        )
+        g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])  # (B, 10)
+        v1 = v1_flat.reshape(B, N, 3, 64 // 6) * g[:, None, None, :]
 
         outs = [(s1, v1)]
         for name, (S, V, S_out, V_out) in _ROUNDS.items():
@@ -169,16 +205,23 @@ class SVDGCNNClsEngine:
             )
             outs.append((so, vo.reshape(B, N, 3, V_out)))
 
-        s_c = jnp.concatenate([o[0] for o in outs], axis=-1)
-        v_c = jnp.concatenate([o[1] for o in outs], axis=-1)
+        s_c = jnp.concatenate([o[0] for o in outs], axis=-1)  # (B, N, 256)
+        v_c = jnp.concatenate([o[1] for o in outs], axis=-1)  # (B, N, 3, 83)
 
-        s5, v5 = _svblock_eval(p["conv5"], bs["conv5"], s_c, v_c, self.binary)
-        x = jnp.concatenate(
-            [s5, _v2s_eval(p["svfuse"]["v2s"], v5, self.binary)], axis=-1
-        )  # (B, N, 1022)
+        # conv5 gate from the materialized skip scalars
+        gm = jnp.mean(s_c, axis=1)
+        g5 = jax.nn.relu(gm @ p["conv5"]["gate_fc1"]["kernel"])
+        g5 = jax.nn.sigmoid(g5 @ p["conv5"]["gate_fc2"]["kernel"])  # (B, 170)
+
+        src5 = jnp.concatenate([s_c, v_c.reshape(B, N, -1)], axis=-1)
+        x = sv_point_block(
+            src5, g5, self.folded_point,
+            S=256, V=83, S_out=512, V_out=170, T=min(self.tile * 2, N),
+            binary=self.binary, exact=self.exact, interpret=self.interpret,
+        )  # (B, N, 1022), SVFuse channels j-major
 
         x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)], axis=-1)
-        x = _linear_eval(p["linear1"], x, self.binary, self.binary)
+        x = _linear_eval(self.head1, x, self.binary, self.binary)
         x = jax.nn.leaky_relu(
             _bn_eval(p["bn1"]["bn"], bs["bn1"]["bn"], x), negative_slope=0.2
         )
