@@ -139,6 +139,75 @@ class ModelNet40:
         return pointcloud, label
 
 
+class ModelNet40_v2:
+    """Raw-txt ModelNet40 variant with per-item cache + pc_normalize.
+
+    ref data.py:203-256 — and fixes its latent NameError: ``uniform=True``
+    actually works here (farthest_point_sample is imported).
+    """
+
+    num_classes = 40
+
+    def __init__(
+        self,
+        data_dir: str,
+        num_points: int = 1024,
+        partition: str = "train",
+        uniform: bool = False,
+        normal_channel: bool = False,
+        cache_size: int = 15000,
+    ):
+        assert partition in ("train", "test")
+        self.root = data_dir
+        self.npoints = num_points
+        self.uniform = uniform
+        self.normal_channel = normal_channel
+        catfile = os.path.join(self.root, "modelnet40_shape_names.txt")
+        self.cat = [line.rstrip() for line in open(catfile)]
+        self.classes = dict(zip(self.cat, range(len(self.cat))))
+        ids = [
+            line.rstrip()
+            for line in open(
+                os.path.join(self.root, f"modelnet40_{partition}.txt")
+            )
+        ]
+        names = ["_".join(x.split("_")[0:-1]) for x in ids]
+        self.datapath = [
+            (names[i], os.path.join(self.root, names[i], ids[i]) + ".txt")
+            for i in range(len(ids))
+        ]
+        self.cache_size = cache_size
+        self.cache: dict = {}
+
+    def __len__(self):
+        return len(self.datapath)
+
+    def __getitem__(self, index):
+        if index in self.cache:
+            return self.cache[index]
+        name, path = self.datapath[index]
+        cls = self.classes[name]
+        pts = np.loadtxt(path, delimiter=",").astype(np.float32)
+        if self.uniform:
+            import jax.numpy as jnp
+
+            from svnet_tpu.ops.sampling import farthest_point_sample
+
+            idx = np.asarray(
+                farthest_point_sample(jnp.asarray(pts[None, :, :3]), self.npoints)
+            )[0]
+            pts = pts[idx]
+        else:
+            pts = pts[: self.npoints]
+        pts[:, 0:3] = pc_normalize(pts[:, 0:3])
+        if not self.normal_channel:
+            pts = pts[:, 0:3]
+        item = (pts, int(cls))
+        if len(self.cache) < self.cache_size:
+            self.cache[index] = item
+        return item
+
+
 class ShapeNetPart:
     """ref data.py:260-297. Item: (points, category label, per-point seg)."""
 

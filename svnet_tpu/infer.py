@@ -181,9 +181,12 @@ class SVDGCNNClsEngine:
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
         idx0 = self._knn(points)
+        # exact mode keeps the one-hot gather in f32 — halve the tile to fit
+        # the (N, k*T) one-hot in VMEM
+        t_first = self.tile // 2 if self.exact else self.tile
         s1, v1_flat, s_mean = sv_edge_first_block(
             points, idx0, self.folded_first,
-            S_out=64 // 2, V_out=64 // 6, k=k, T=self.tile,
+            S_out=64 // 2, V_out=64 // 6, k=k, T=max(t_first, 8),
             exact=self.exact, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])

@@ -19,6 +19,7 @@ from svnet_tpu.models.dgcnn import DGCNN_CLS, DGCNN_PSEG
 from svnet_tpu.models.bipointnet import (
     BiPointNet_CLS,
     BiPointNet_PSEG,
+    BiPointNet_SEMSEG,
     BiPointNetLSREMax,
     BiPointNetPartSegLSREMax,
 )
@@ -72,6 +73,7 @@ __all__ = [
     "DGCNN_PSEG",
     "BiPointNet_CLS",
     "BiPointNet_PSEG",
+    "BiPointNet_SEMSEG",
     "BiPointNetLSREMax",
     "BiPointNetPartSegLSREMax",
     "get_model",

@@ -258,6 +258,58 @@ class BiPointNet_PSEG(nn.Module):
         return net, trans_feat
 
 
+class BiPointNet_SEMSEG(nn.Module):
+    """Semantic segmentation head over the (non-global) encoder.
+
+    ref bipointnet.py:331-383 (BasicBiPointNetSemSeg). Channels-last:
+    points (B, N, 3[+6 features]) -> per-point (B, N, num_classes) logits.
+    """
+
+    num_classes: int = 13
+    linear: str = "BiLinearLSR"
+    pool: str = "ema-max"
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, points: jax.Array, train: bool = False):
+        linear_cls = bil.BI_LINEARS[self.linear]
+        B, N = points.shape[0], points.shape[1]
+        xyz = points[..., :3]
+
+        trans = BiSTNkd(3, linear_cls, self.pool, self.affine, name="stn")(
+            xyz, train
+        )
+        x = jnp.einsum("bni,bij->bnj", xyz, trans)
+        if points.shape[-1] > 3:
+            x = jnp.concatenate([x, points[..., 3:]], axis=-1)
+        x = _ConvBNHt(64, _FPLinear, self.affine, name="conv1")(x, train)
+
+        trans_feat = BiSTNkd(
+            64, linear_cls, self.pool, self.affine, name="fstn"
+        )(x, train)
+        x = jnp.einsum("bni,bij->bnj", x, trans_feat)
+        pointfeat = x
+
+        x = _ConvBNHt(128, linear_cls, self.affine, name="conv2")(x, train)
+        x = linear_cls(1024, name="conv3_lin")(x, train)
+        x = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            use_bias=self.affine, use_scale=self.affine, name="conv3_bn",
+        )(x)
+        if self.pool == "ema-max":
+            g = jnp.max(x, axis=1) + ema_max_offset(N)
+        else:
+            g = _pool(x, self.pool, axis=1)
+        g = jnp.broadcast_to(g[:, None, :], (B, N, g.shape[-1]))
+        x = jnp.concatenate([g, pointfeat], axis=-1)  # (B, N, 1088)
+
+        x = _ConvBNHt(512, linear_cls, self.affine, name="convs1")(x, train)
+        x = _ConvBNHt(256, linear_cls, self.affine, name="convs2")(x, train)
+        x = _ConvBNHt(128, linear_cls, self.affine, name="convs3")(x, train)
+        x = svl.Linear(self.num_classes, name="convs4")(x)
+        return x, trans_feat
+
+
 def BiPointNetLSREMax(num_classes: int = 40, **kw) -> BiPointNet_CLS:
     """ref bipointnet.py:386-388."""
     return BiPointNet_CLS(num_classes=num_classes, linear="BiLinearLSR", pool="ema-max", **kw)

@@ -191,6 +191,70 @@ class BiLinearIRNet(nn.Module):
         return y
 
 
+class MeanShift(nn.Module):
+    """Running-median activation centering. ref bipointnet_basic.py:20-39
+    (unused by exported models; kept for capability parity).
+
+    The reference tracks a cumulative mean of per-batch medians; we keep the
+    same statistic in a batch_stats collection (updated in train mode).
+    """
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        median = self.variable(
+            "batch_stats", "median",
+            lambda: jnp.zeros((1, x.shape[-1]), x.dtype),
+        )
+        num = self.variable(
+            "batch_stats", "num_track", lambda: jnp.zeros((), jnp.int32)
+        )
+        if train and not self.is_initializing():
+            batch_median = jnp.median(x.reshape(-1, x.shape[-1]), axis=0)
+            n = num.value.astype(x.dtype)
+            median.value = (median.value * n + batch_median[None]) / (n + 1)
+            num.value = num.value + 1
+        return x - median.value
+
+
+class BiConv1d(nn.Module):
+    """Binary 1-D convolution (mean-centered sign weights, sign activations).
+
+    ref bipointnet_basic.py:250-272 (unused by exported models). Channels-
+    last: x (B, L, C) -> (B, L', C'). kernel_size 1 degenerates to BiLinear
+    semantics without bias centering differences.
+    """
+
+    features: int
+    kernel_size: int = 1
+    stride: int = 1
+    padding: str = "VALID"
+    use_bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        d_in = x.shape[-1]
+        kernel = self.param(
+            "kernel",
+            torch_linear_init(d_in * self.kernel_size),
+            (self.kernel_size, d_in, self.features),
+        )
+        w = kernel - kernel.mean()
+        w = bi_quantize(w, train)
+        a = bi_quantize(x, train)
+        y = jax.lax.conv_general_dilated(
+            a,
+            w,
+            window_strides=(self.stride,),
+            padding=self.padding,
+            dimension_numbers=("NHC", "HIO", "NHC"),
+        )
+        if self.use_bias:
+            y = y + self.param(
+                "bias", torch_linear_init(d_in), (self.features,)
+            )
+        return y
+
+
 BI_LINEARS = {
     "BiLinear": BiLinear,
     "BiLinearXNOR": BiLinearXNOR,

@@ -95,6 +95,31 @@ class VNLinearLeakyReLU(nn.Module):
         )
 
 
+class VNLinearAndLeakyReLU(nn.Module):
+    """Unfused linear -> (optional) VNBatchNorm -> direction leaky-ReLU.
+
+    Counterpart of reference vn_layers.py:81-108 — whose constructor is
+    broken by a wrong-class super() call (SURVEY.md §2.10); this is the
+    working version of what it intends.
+    """
+
+    features: int
+    negative_slope: float = 0.2
+    share_nonlinearity: bool = False
+    use_batchnorm: str = "norm"  # 'norm' | 'none'
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        x = VNLinear(self.features, name="linear")(x)
+        if self.use_batchnorm != "none":
+            x = VNBatchNorm(name="batchnorm")(x, train)
+        return VNLeakyReLU(
+            negative_slope=self.negative_slope,
+            share_nonlinearity=self.share_nonlinearity,
+            name="leaky_relu",
+        )(x)
+
+
 class VNMaxPool(nn.Module):
     """Max-pool over an axis by learned-direction dot product.
 

@@ -11,6 +11,14 @@ from svnet_tpu.ops.graph import (
     svpool,
     svcat,
 )
+from svnet_tpu.ops.sampling import (
+    square_distance,
+    index_points,
+    farthest_point_sample,
+    query_ball_point,
+    sample_and_group,
+    sample_and_group_all,
+)
 from svnet_tpu.ops.rotations import (
     random_rotations,
     random_z_rotations,
@@ -29,6 +37,12 @@ __all__ = [
     "vn_graph_feature",
     "svpool",
     "svcat",
+    "square_distance",
+    "index_points",
+    "farthest_point_sample",
+    "query_ball_point",
+    "sample_and_group",
+    "sample_and_group_all",
     "random_rotations",
     "random_z_rotations",
     "rotate_points",
