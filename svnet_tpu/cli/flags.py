@@ -65,5 +65,7 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
                    help="initialize weights from a checkpoint (KD teacher)")
     p.add_argument("--distill", action="store_true",
                    help="KD: train against the frozen --preload teacher")
+    p.add_argument("--profile-dir", metavar="DIR", default=None,
+                   help="write a jax.profiler trace of a few train steps")
     p.set_defaults(backbone=backbone)
     return p

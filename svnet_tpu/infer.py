@@ -41,6 +41,7 @@ from svnet_tpu.ops.pallas.sv_point import (
     head_perm,
     sv_point_block,
 )
+from svnet_tpu.ops.pallas.sv_round import sv_round
 
 EPS = 1e-6
 BN_EPS = 1e-5
@@ -121,8 +122,11 @@ class SVDGCNNClsEngine:
         tile: int = 64,
         knn_impl: str = "pallas",
         exact: bool = True,
+        rounds_impl: str = "round",
         interpret: bool = False,
     ):
+        """``rounds_impl``: 'round' = fully-fused kNN+block kernel per DGCNN
+        round (sv_round); 'edge' = separate kNN + idx-consuming sv_edge."""
         self.p = variables["params"]
         self.bs = variables["batch_stats"]
         self.k = k
@@ -130,6 +134,7 @@ class SVDGCNNClsEngine:
         self.tile = tile
         self.knn_impl = knn_impl
         self.exact = exact
+        self.rounds_impl = rounds_impl
         self.interpret = interpret
         # fold fused-round weights once
         self.folded: Dict[str, dict] = {
@@ -199,13 +204,28 @@ class SVDGCNNClsEngine:
             joint = jnp.concatenate(
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
-            idx = self._knn(joint)
-            gate = svblock_gate(p[name], s_in, idx)
-            so, vo = sv_edge_block(
-                joint, idx, gate, self.folded[name],
-                S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=self.tile,
-                binary=self.binary, exact=self.exact, interpret=self.interpret,
-            )
+            if self.rounds_impl == "round":
+                # sv_round holds no (k*T, C) tensors, so a much larger tile
+                # fits VMEM and amortizes the per-program weight loads
+                t_round = min(max(self.tile * 4, 64), N)
+                so, vo, se_mean = sv_round(
+                    joint, self.folded[name],
+                    S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
+                    binary=self.binary, exact=self.exact,
+                    interpret=self.interpret,
+                )
+                g = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
+                g = jax.nn.sigmoid(g @ p[name]["gate_fc2"]["kernel"])
+                vo = vo * jnp.tile(g, (1, 3))[:, None, :]
+            else:
+                idx = self._knn(joint)
+                gate = svblock_gate(p[name], s_in, idx)
+                so, vo = sv_edge_block(
+                    joint, idx, gate, self.folded[name],
+                    S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=self.tile,
+                    binary=self.binary, exact=self.exact,
+                    interpret=self.interpret,
+                )
             outs.append((so, vo.reshape(B, N, 3, V_out)))
 
         s_c = jnp.concatenate([o[0] for o in outs], axis=-1)  # (B, N, 256)

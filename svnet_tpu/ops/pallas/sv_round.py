@@ -1,0 +1,235 @@
+"""Fully-fused SV-DGCNN round: kNN + gather + SVBlock + pool in ONE kernel.
+
+Evolution of sv_edge.py: instead of consuming precomputed kNN indices, each
+(batch, point-tile) program computes its own (T, N) negative-distance tile
+on the MXU and extracts neighbours one rank at a time. Each masked-argmax
+pass yields an exact first-occurrence one-hot mask (T, N) that doubles as
+the gather operator (mask @ src on the MXU), so:
+
+  * no (B, N, k) index tensor, no XLA sort, no separate kNN kernel pass;
+  * no (k*T, C) edge tensors — per neighbour rank j only (T, C) tiles live,
+    and the svpool (max for scalars / mean for vectors) folds online across
+    the k ranks;
+  * VMEM per program is O(N*C + T*N), independent of k.
+
+Everything else (edge features, Vector2Scalar, eval binarization, folded
+BN affines, VectorBN, gate) matches sv_edge.py semantics exactly.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+EPS = 1e-6
+
+
+def _round_kernel(
+    src_ref,
+    wz_ref, w1_ref, beta_ref, a1_ref, b1_ref,
+    w2_ref, scale2_ref, a2_ref, b2_ref,
+    s_out_ref, v_out_ref, ssum_ref,
+    *, S: int, V: int, S_out: int, V_out: int, k: int, T: int, N: int,
+    binary: bool, exact: bool,
+):
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    gdtype = jnp.float32 if exact else jnp.bfloat16
+    C = S + 3 * V
+
+    src = src_ref[0]  # (N, C) f32
+    t = pl.program_id(1)
+    ctr = src_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]  # (T, C) f32
+    if exact:
+        # 3-way bf16 split of src: a one-hot (selection) matmul against the
+        # three parts reconstructs the full 24-bit f32 mantissa exactly at
+        # half the cost of a HIGHEST-precision matmul, and the splits hoist
+        # out of the k-rank loop.
+        src_hi = src.astype(jnp.bfloat16)
+        r1 = src - src_hi.astype(jnp.float32)
+        src_mid = r1.astype(jnp.bfloat16)
+        src_lo = (r1 - src_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        src_parts = (src_hi, src_mid, src_lo)
+        # reconstruct the centres through the same split so self-edge
+        # differences are exactly zero
+        c_hi = ctr.astype(jnp.bfloat16)
+        cr1 = ctr - c_hi.astype(jnp.float32)
+        c_mid = cr1.astype(jnp.bfloat16)
+        c_lo = (cr1 - c_mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        ctr_g = (
+            c_hi.astype(jnp.float32)
+            + c_mid.astype(jnp.float32)
+            + c_lo.astype(jnp.float32)
+        )
+    else:
+        src_parts = (src.astype(jnp.bfloat16),)
+        ctr_g = ctr.astype(jnp.bfloat16).astype(jnp.float32)
+
+    # (T, N) negative squared distances on the MXU (HIGHEST in exact mode:
+    # near-tie neighbour selection then matches the f32 XLA/reference path)
+    inner = jax.lax.dot_general(
+        ctr, src, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    tt = jnp.sum(ctr * ctr, axis=1, keepdims=True)
+    aa = jnp.sum(src * src, axis=1, keepdims=True).reshape(1, N)
+    neg = 2.0 * inner - tt - aa
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    BIG = jnp.int32(1 << 30)
+
+    wz = wz_ref[:]
+    w1 = w1_ref[:] if not binary else w1_ref[:].astype(jnp.bfloat16)
+    w2 = w2_ref[:]
+    scale2 = scale2_ref[:]
+    a1, b1 = a1_ref[:], b1_ref[:]
+    a2, b2 = a2_ref[:], b2_ref[:]
+
+    s_acc = jnp.full((T, S_out), -jnp.inf, jnp.float32)
+    v_acc = [jnp.zeros((T, V_out), jnp.float32) for _ in range(3)]
+    se_sum = jnp.zeros((1, 2 * S), jnp.float32) if S > 0 else None
+
+    for j in range(k):
+        # exact first-occurrence one-hot of the current nearest neighbour
+        m = jnp.max(neg, axis=1, keepdims=True)
+        cand = jnp.where(neg >= m, cols, BIG)
+        amin = jnp.min(cand, axis=1, keepdims=True)
+        mask = cols == amin  # (T, N) exactly one True per row
+        neg = jnp.where(mask, -jnp.inf, neg)
+
+        mask_b = mask.astype(jnp.bfloat16)
+        nbr = jax.lax.dot_general(
+            mask_b, src_parts[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for part in src_parts[1:]:
+            nbr = nbr + jax.lax.dot_general(
+                mask_b, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # exact f32 row selection
+        e = nbr - ctr_g
+
+        v_e = [
+            jnp.concatenate(
+                [
+                    e[:, S + i * V : S + (i + 1) * V],
+                    ctr_g[:, S + i * V : S + (i + 1) * V],
+                ],
+                axis=1,
+            )
+            for i in range(3)
+        ]  # (T, 2V) x3
+
+        z = [
+            jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32, precision=prec)
+            for i in range(3)
+        ]
+        sv = []
+        for jj in range(3):
+            acc = v_e[0] * z[0][:, jj : jj + 1]
+            acc = acc + v_e[1] * z[1][:, jj : jj + 1]
+            acc = acc + v_e[2] * z[2][:, jj : jj + 1]
+            sv.append(acc)
+
+        if S > 0:
+            s_e = jnp.concatenate([e[:, :S], ctr_g[:, :S]], axis=1)
+            se_sum = se_sum + jnp.sum(s_e, axis=0, keepdims=True)
+            x_cat = jnp.concatenate([s_e] + sv, axis=1)
+        else:
+            x_cat = jnp.concatenate(sv, axis=1)
+
+        if binary:
+            xq = jnp.sign(x_cat + beta_ref[:]).astype(jnp.bfloat16)
+            h = jnp.dot(xq, w1, preferred_element_type=jnp.float32)
+        else:
+            h = jnp.dot(x_cat, w1, preferred_element_type=jnp.float32, precision=prec)
+        y = h * a1 + b1
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        s_acc = jnp.maximum(s_acc, y)
+
+        wlin = [
+            jnp.dot(v_e[i], w2, preferred_element_type=jnp.float32, precision=prec)
+            * scale2
+            for i in range(3)
+        ]
+        nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
+        nrm = jnp.sqrt(nsq) + EPS
+        f = a2 + b2 / nrm
+        for i in range(3):
+            v_acc[i] = v_acc[i] + wlin[i] * f
+
+    s_out_ref[0] = s_acc
+    inv_k = 1.0 / k
+    for i in range(3):
+        v_out_ref[0, :, i * V_out : (i + 1) * V_out] = v_acc[i] * inv_k
+    if S > 0:
+        ssum_ref[0, 0] = se_sum
+    else:
+        ssum_ref[0, 0] = jnp.zeros((1, ssum_ref.shape[-1]), jnp.float32)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "S", "V", "S_out", "V_out", "k", "T", "binary", "exact", "interpret"
+    ),
+)
+def sv_round(
+    src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major]
+    folded: Dict[str, jax.Array],
+    *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 128,
+    binary: bool = True, exact: bool = True, interpret: bool = False,
+):
+    """Full round: kNN in the joint feature space + SVBlock + svpool.
+
+    Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out), and
+    s_edge_mean (B, 2S) — the mean of the edge scalars for the host-side
+    gate MLP; the caller applies gate * v_out (per-(batch, channel) scaling
+    commutes with the kernel's mean-pool).
+    """
+    B, N, _ = src.shape
+    assert N % T == 0
+    const = lambda b, t: (0, 0)
+    s_out, v_out, ssum = pl.pallas_call(
+        functools.partial(
+            _round_kernel,
+            S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=T, N=N,
+            binary=binary, exact=exact,
+        ),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, N, S + 3 * V), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * V, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * S + 6 * V, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2 * S + 6 * V), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * V, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, S_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 3 * V_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, max(2 * S, 1)), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, S_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 3 * V_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 1, max(2 * S, 1)), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        src,
+        folded["wz"], folded["w1"], folded["beta"],
+        folded["a1"], folded["b1"],
+        folded["w2"], folded["scale2"], folded["a2"], folded["b2"],
+    )
+    s_edge_mean = jnp.sum(ssum[:, :, 0, :], axis=1) / (N * k)  # (B, 2S)
+    return s_out, v_out, s_edge_mean
+

@@ -225,6 +225,7 @@ def run_cls(args) -> Optional[float]:
         return acc
 
     save_id = None
+    profiled = False
     for epoch in range(start_epoch, args.epochs):
         t0 = time.time()
         train_true, train_pred, losses, counts = [], [], [], []
@@ -235,6 +236,14 @@ def run_cls(args) -> Optional[float]:
                 "points": jnp.asarray(batch["points"]),
                 "target": jnp.asarray(batch["target"]),
             }
+            if getattr(args, "profile_dir", None) and not profiled and i == 2:
+                # trace a few warmed steps (post-compile) for jax.profiler
+                with jax.profiler.trace(args.profile_dir):
+                    state, loss, preds = train_step(state, jb, step_rng)
+                    jax.block_until_ready(loss)
+                profiled = True
+                log_string(f"profiler trace written to {args.profile_dir}")
+                continue
             state, loss, preds = train_step(state, jb, step_rng)
             losses.append(float(loss) * batch["size"])
             counts.append(batch["size"])
@@ -393,9 +402,42 @@ def run_partseg(args) -> Optional[float]:
     init_batch = next(iter(test_loader))
     state = _make_state(args, model, init_batch, len(train_loader), with_label=True)
 
-    train_step = jax.jit(
-        make_train_step(model, seg_loss, rot=args.rot, with_label=True)
-    )
+    # KD: teacher preload / distillation (mirrors the cls driver)
+    distiller = None
+    if getattr(args, "preload", None):
+        teacher_model = _build_pseg_model(_fp_copy(args), num_part=50)
+        t_template = {
+            "epoch": 0,
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "best_metric": 0.0,
+        }
+        t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
+        if t_ckpt is None:
+            raise FileNotFoundError(f"--preload {args.preload} not found")
+        if getattr(args, "distill", False):
+            distiller = _Distiller(
+                teacher_model,
+                {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
+                with_label=True,
+            )
+            log_string(f"KD teacher loaded from {args.preload}")
+        else:
+            state = state.replace(
+                params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
+            )
+            log_string(f"preloaded weights from {args.preload}")
+
+    if distiller is None:
+        train_step = jax.jit(
+            make_train_step(model, seg_loss, rot=args.rot, with_label=True)
+        )
+    else:
+        train_step = jax.jit(
+            _make_kd_train_step(
+                model, seg_loss, distiller, rot=args.rot, with_label=True
+            )
+        )
     eval_step = jax.jit(
         make_eval_step(model, seg_loss, rot_test=args.rot_test, with_label=True)
     )
