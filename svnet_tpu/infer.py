@@ -41,7 +41,7 @@ from svnet_tpu.ops.pallas.sv_point import (
     head_perm,
     sv_point_block,
 )
-from svnet_tpu.ops.pallas.sv_round import sv_round
+from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
 
 EPS = 1e-6
 BN_EPS = 1e-5
@@ -185,15 +185,23 @@ class SVDGCNNClsEngine:
 
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
-        idx0 = self._knn(points)
-        # exact mode keeps the one-hot gather in f32 — halve the tile to fit
-        # the (N, k*T) one-hot in VMEM
-        t_first = self.tile // 2 if self.exact else self.tile
-        s1, v1_flat, s_mean = sv_edge_first_block(
-            points, idx0, self.folded_first,
-            S_out=64 // 2, V_out=64 // 6, k=k, T=max(t_first, 8),
-            exact=self.exact, interpret=self.interpret,
-        )
+        if self.rounds_impl == "round":
+            s1, v1_flat, s_mean = sv_round_first(
+                points, self.folded_first,
+                S_out=64 // 2, V_out=64 // 6, k=k,
+                T=min(max(self.tile * 4, 64), N),
+                exact=self.exact, interpret=self.interpret,
+            )
+        else:
+            idx0 = self._knn(points)
+            # exact mode keeps the one-hot gather in f32 — halve the tile to
+            # fit the (N, k*T) one-hot in VMEM
+            t_first = self.tile // 2 if self.exact else self.tile
+            s1, v1_flat, s_mean = sv_edge_first_block(
+                points, idx0, self.folded_first,
+                S_out=64 // 2, V_out=64 // 6, k=k, T=max(t_first, 8),
+                exact=self.exact, interpret=self.interpret,
+            )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])  # (B, 10)
         v1 = v1_flat.reshape(B, N, 3, 64 // 6) * g[:, None, None, :]

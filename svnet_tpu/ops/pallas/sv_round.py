@@ -172,6 +172,189 @@ def _round_kernel(
         ssum_ref[0, 0] = jnp.zeros((1, ssum_ref.shape[-1]), jnp.float32)
 
 
+def _round_first_kernel(
+    pts_ref,
+    wz0_ref, wz1_ref, w1_ref, a1_ref, b1_ref,
+    w2_ref, a2_ref, b2_ref,
+    s_out_ref, v_out_ref, ssum_ref,
+    *, S_out: int, V_out: int, k: int, T: int, N: int, exact: bool,
+):
+    """First-layer (coords) variant: dual Vector2Scalar, FP block.
+
+    Mirrors sv_edge_first.py's math with the rank-loop selection/gather of
+    _round_kernel. Emits init_scalar partial sums (c-major) for the gate.
+    """
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    pts = pts_ref[0]  # (N, 3)
+    t = pl.program_id(1)
+    ctr = pts_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]  # (T, 3)
+    if exact:
+        # coords fit bf16 poorly too; use the same 3-way split
+        hi = pts.astype(jnp.bfloat16)
+        r1 = pts - hi.astype(jnp.float32)
+        mid = r1.astype(jnp.bfloat16)
+        lo = (r1 - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        parts = (hi, mid, lo)
+        chi = ctr.astype(jnp.bfloat16)
+        cr1 = ctr - chi.astype(jnp.float32)
+        cmid = cr1.astype(jnp.bfloat16)
+        clo = (cr1 - cmid.astype(jnp.float32)).astype(jnp.bfloat16)
+        ctr_g = (
+            chi.astype(jnp.float32)
+            + cmid.astype(jnp.float32)
+            + clo.astype(jnp.float32)
+        )
+    else:
+        parts = (pts.astype(jnp.bfloat16),)
+        ctr_g = ctr.astype(jnp.bfloat16).astype(jnp.float32)
+
+    inner = jax.lax.dot_general(
+        ctr, pts, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    tt = jnp.sum(ctr * ctr, axis=1, keepdims=True)
+    aa = jnp.sum(pts * pts, axis=1, keepdims=True).reshape(1, N)
+    neg = 2.0 * inner - tt - aa
+
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    BIG = jnp.int32(1 << 30)
+
+    wz0, wz1 = wz0_ref[:], wz1_ref[:]
+    w1 = w1_ref[:]
+    w2 = w2_ref[:]
+    a1, b1 = a1_ref[:], b1_ref[:]
+    a2, b2 = a2_ref[:], b2_ref[:]
+
+    s_acc = jnp.full((T, S_out), -jnp.inf, jnp.float32)
+    v_acc = [jnp.zeros((T, V_out), jnp.float32) for _ in range(3)]
+    sva_sum = [jnp.zeros((1, 2), jnp.float32) for _ in range(3)]
+
+    for j in range(k):
+        m = jnp.max(neg, axis=1, keepdims=True)
+        cand = jnp.where(neg >= m, cols, BIG)
+        amin = jnp.min(cand, axis=1, keepdims=True)
+        mask = cols == amin
+        neg = jnp.where(mask, -jnp.inf, neg)
+
+        mask_b = mask.astype(jnp.bfloat16)
+        nbr = jax.lax.dot_general(
+            mask_b, parts[0], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        for part in parts[1:]:
+            nbr = nbr + jax.lax.dot_general(
+                mask_b, part, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+        e = nbr - ctr_g
+
+        v_e = [
+            jnp.concatenate(
+                [e[:, i : i + 1], ctr_g[:, i : i + 1]], axis=1
+            )
+            for i in range(3)
+        ]  # (T, 2) x3
+
+        def pieces(wz):
+            z = [
+                jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32,
+                        precision=prec)
+                for i in range(3)
+            ]
+            out = []
+            for jj in range(3):
+                acc = v_e[0] * z[0][:, jj : jj + 1]
+                acc = acc + v_e[1] * z[1][:, jj : jj + 1]
+                acc = acc + v_e[2] * z[2][:, jj : jj + 1]
+                out.append(acc)  # (T, 2)
+            return out
+
+        sva = pieces(wz0)
+        svb = pieces(wz1)
+        for jj in range(3):
+            sva_sum[jj] = sva_sum[jj] + jnp.sum(sva[jj], axis=0, keepdims=True)
+
+        x_cat = jnp.concatenate(sva + svb, axis=1)  # (T, 12)
+        h = jnp.dot(x_cat, w1, preferred_element_type=jnp.float32, precision=prec)
+        y = h * a1 + b1
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        s_acc = jnp.maximum(s_acc, y)
+
+        wlin = [
+            jnp.dot(v_e[i], w2, preferred_element_type=jnp.float32, precision=prec)
+            for i in range(3)
+        ]
+        nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
+        nrm = jnp.sqrt(nsq) + EPS
+        f = a2 + b2 / nrm
+        for i in range(3):
+            v_acc[i] = v_acc[i] + wlin[i] * f
+
+    s_out_ref[0] = s_acc
+    inv_k = 1.0 / k
+    for i in range(3):
+        v_out_ref[0, :, i * V_out : (i + 1) * V_out] = v_acc[i] * inv_k
+    # [c*3+j] ordering for the reference gate MLP
+    ssum_ref[0, 0] = jnp.concatenate(
+        [sva_sum[j][:, c : c + 1] for c in range(2) for j in range(3)], axis=1
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("S_out", "V_out", "k", "T", "exact", "interpret")
+)
+def sv_round_first(
+    points: jax.Array,  # (B, N, 3)
+    folded: Dict[str, jax.Array],
+    *, S_out: int, V_out: int, k: int, T: int = 256,
+    exact: bool = True, interpret: bool = False,
+):
+    """Fully-fused first round (kNN over coords + init_scalar + conv1 + pool).
+
+    Returns (s_out, v_out UNGATED, s_mean (B, 6) for the conv1 gate MLP).
+    Weights from sv_edge_first.fold_first_params.
+    """
+    B, N, _ = points.shape
+    assert N % T == 0
+    const = lambda b, t: (0, 0)
+    s_out, v_out, ssum = pl.pallas_call(
+        functools.partial(
+            _round_first_kernel,
+            S_out=S_out, V_out=V_out, k=k, T=T, N=N, exact=exact,
+        ),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((12, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, T, S_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, T, 3 * V_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 6), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, S_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N, 3 * V_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 1, 6), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        points,
+        folded["wz0"], folded["wz1"], folded["w1"],
+        folded["a1"], folded["b1"],
+        folded["w2"], folded["a2"], folded["b2"],
+    )
+    s_mean = jnp.sum(ssum[:, :, 0, :], axis=1) / (N * k)
+    return s_out, v_out, s_mean
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
