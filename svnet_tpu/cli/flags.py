@@ -67,5 +67,8 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
                    help="KD: train against the frozen --preload teacher")
     p.add_argument("--profile-dir", metavar="DIR", default=None,
                    help="write a jax.profiler trace of a few train steps")
+    p.add_argument("--dp", type=int, default=1,
+                   help="data-parallel device count (shards the batch over a"
+                        " mesh; the TPU-native nn.DataParallel)")
     p.set_defaults(backbone=backbone)
     return p

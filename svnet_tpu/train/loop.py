@@ -93,6 +93,32 @@ class _Distiller:
         return -(p_t * log_p_s).sum(axis=-1).mean() * (T * T)
 
 
+def _setup_mesh(args, state):
+    """Data-parallel mesh (--dp): replicate the state, return a batch
+    sharding function. The TPU-native upgrade of the reference's
+    nn.DataParallel (SURVEY.md §2.8/§5.8): XLA inserts psum for grads and
+    global BN statistics over ICI."""
+    dp = getattr(args, "dp", 1)
+    if dp <= 1:
+        return state, lambda x: x
+    from svnet_tpu import parallel
+
+    assert args.batch_size % dp == 0, (args.batch_size, dp)
+    mesh = parallel.make_mesh(dp, model=1)
+    rep = parallel.replicated(mesh)
+    state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    def shard_batch(jb):
+        return {
+            key: jax.device_put(
+                val, parallel.batch_sharding(mesh, jnp.ndim(val))
+            )
+            for key, val in jb.items()
+        }
+
+    return state, shard_batch
+
+
 def _make_state(args, model, init_batch, steps_per_epoch, with_label=False):
     rng = jax.random.PRNGKey(args.seed)
     if with_label:
@@ -218,10 +244,13 @@ def run_cls(args) -> Optional[float]:
     else:
         log_string("no checkpoint loaded")
 
+    state, shard_batch = _setup_mesh(args, state)
     rng = jax.random.PRNGKey(args.seed + 123)
 
     if args.test is not None:
-        acc, avg_acc, loss = _eval_cls(eval_step, state, test_loader, rng, log_string)
+        acc, avg_acc, loss = _eval_cls(
+            eval_step, state, test_loader, rng, log_string, shard_batch
+        )
         return acc
 
     save_id = None
@@ -232,10 +261,10 @@ def run_cls(args) -> Optional[float]:
         print_freq = max(len(train_loader) // 10, 1)
         for i, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
-            jb = {
+            jb = shard_batch({
                 "points": jnp.asarray(batch["points"]),
                 "target": jnp.asarray(batch["target"]),
-            }
+            })
             if getattr(args, "profile_dir", None) and not profiled and i == 2:
                 # trace a few warmed steps (post-compile) for jax.profiler
                 with jax.profiler.trace(args.profile_dir):
@@ -266,7 +295,7 @@ def run_cls(args) -> Optional[float]:
 
         rng, eval_rng = jax.random.split(rng)
         test_acc, test_avg, test_loss = _eval_cls(
-            eval_step, state, test_loader, eval_rng, log_string
+            eval_step, state, test_loader, eval_rng, log_string, shard_batch
         )
         is_best = test_acc >= best_acc
         best_acc = max(best_acc, test_acc)
@@ -292,14 +321,14 @@ def run_cls(args) -> Optional[float]:
     return best_acc
 
 
-def _eval_cls(eval_step, state, test_loader, rng, log_string):
+def _eval_cls(eval_step, state, test_loader, rng, log_string, shard_batch=lambda x: x):
     test_true, test_pred, losses, counts = [], [], [], []
     for batch in test_loader:
         rng, step_rng = jax.random.split(rng)
-        jb = {
+        jb = shard_batch({
             "points": jnp.asarray(batch["points"]),
             "target": jnp.asarray(batch["target"]),
-        }
+        })
         loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
         size = batch["size"]
         losses.append(float(loss) * size)
@@ -464,10 +493,13 @@ def run_partseg(args) -> Optional[float]:
     else:
         log_string("no checkpoint loaded")
 
+    state, shard_batch = _setup_mesh(args, state)
     rng = jax.random.PRNGKey(args.seed + 123)
 
     if args.test is not None:
-        iou, acc, loss = _eval_pseg(eval_step, state, test_loader, rng, log_string)
+        iou, acc, loss = _eval_pseg(
+            eval_step, state, test_loader, rng, log_string, shard_batch
+        )
         return iou
 
     save_id = None
@@ -478,11 +510,11 @@ def run_partseg(args) -> Optional[float]:
         print_freq = max(len(train_loader) // 10, 1)
         for i, batch in enumerate(train_loader):
             rng, step_rng = jax.random.split(rng)
-            jb = {
+            jb = shard_batch({
                 "points": jnp.asarray(batch["points"]),
                 "target": jnp.asarray(batch["seg"]),
                 "label": jnp.asarray(batch["label"]),
-            }
+            })
             state, loss, preds = train_step(state, jb, step_rng)
             losses.append(float(loss) * batch["size"])
             counts.append(batch["size"])
@@ -500,7 +532,7 @@ def run_partseg(args) -> Optional[float]:
 
         rng, eval_rng = jax.random.split(rng)
         test_iou, test_acc, test_loss = _eval_pseg(
-            eval_step, state, test_loader, eval_rng, log_string
+            eval_step, state, test_loader, eval_rng, log_string, shard_batch
         )
         is_best = test_iou >= best_iou
         best_iou = max(best_iou, test_iou)
@@ -525,16 +557,16 @@ def run_partseg(args) -> Optional[float]:
     return best_iou
 
 
-def _eval_pseg(eval_step, state, test_loader, rng, log_string):
+def _eval_pseg(eval_step, state, test_loader, rng, log_string, shard_batch=lambda x: x):
     all_pred, all_seg, all_cat = [], [], []
     losses, counts = [], []
     for batch in test_loader:
         rng, step_rng = jax.random.split(rng)
-        jb = {
+        jb = shard_batch({
             "points": jnp.asarray(batch["points"]),
             "target": jnp.asarray(batch["seg"]),
             "label": jnp.asarray(batch["label"]),
-        }
+        })
         loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
         size = batch["size"]
         losses.append(float(loss) * size)
