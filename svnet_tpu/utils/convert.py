@@ -140,6 +140,38 @@ def load_pth(path: str, model: str = "sv_dgcnn_cls") -> Dict[str, dict]:
     return convert_state_dict(sd, model=model)
 
 
+def convert_file(pth_path: str, out_path: str, model: str) -> None:
+    """Convert a reference .pth checkpoint to a flax msgpack .ckpt that
+    load_checkpoint/--test can read (params + batch_stats payload)."""
+    from flax import serialization
+
+    variables = load_pth(pth_path, model=model)
+    payload = {
+        "epoch": 0,
+        "params": variables["params"],
+        "batch_stats": variables["batch_stats"],
+        "best_metric": 0.0,
+    }
+    with open(out_path, "wb") as f:
+        f.write(serialization.to_bytes(payload))
+
+
+def main(argv=None):
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Convert a reference .pth checkpoint to flax .ckpt"
+    )
+    ap.add_argument("pth")
+    ap.add_argument("out")
+    ap.add_argument(
+        "--model", default="sv_dgcnn_cls", choices=sorted(MODEL_RULES)
+    )
+    args = ap.parse_args(argv)
+    convert_file(args.pth, args.out, args.model)
+    print(f"wrote {args.out}")
+
+
 def check_structure(converted: dict, reference: dict) -> Tuple[list, list, list]:
     """Compare a converted variables tree against a model-init tree.
 
@@ -165,3 +197,7 @@ def check_structure(converted: dict, reference: dict) -> Tuple[list, list, list]
         if got[p] != want[p]
     )
     return missing, unexpected, mismatched
+
+
+if __name__ == "__main__":
+    main()
