@@ -245,7 +245,7 @@ class SVDGCNNClsEngine:
         g5 = jax.nn.sigmoid(g5 @ p["conv5"]["gate_fc2"]["kernel"])  # (B, 170)
 
         src5 = jnp.concatenate([s_c, v_c.reshape(B, N, -1)], axis=-1)
-        x = sv_point_block(
+        x, _, _ = sv_point_block(
             src5, g5, self.folded_point,
             S=256, V=83, S_out=512, V_out=170, T=min(self.tile * 2, N),
             binary=self.binary, exact=self.exact, interpret=self.interpret,
@@ -264,3 +264,176 @@ class SVDGCNNClsEngine:
 
     def __call__(self, points: jax.Array) -> jax.Array:
         return self._jit_forward(points)
+
+
+def _make_div(v, divisor=8):
+    new_v = max(divisor, int(v + divisor / 2) // divisor * divisor)
+    if new_v < 0.9 * v:
+        new_v += divisor
+    return new_v
+
+
+_V = _make_div
+
+# partseg round dims (make_divisible widths, ref sv_dgcnn_partseg.py:50-53)
+_PSEG_ROUNDS = {
+    "conv2": (_V(32), _V(10), _V(32), _V(10)),
+    "conv3": (2 * _V(32), 2 * _V(10), _V(64), _V(21)),
+    "conv4": (2 * _V(64), 2 * _V(21), _V(128), _V(42)),
+}
+# NOTE: conv2 input is (2*_V(32), 2*_V(10)) edge channels of round-1 output
+
+
+class SVDGCNNPsegEngine:
+    """Fused eval engine for SV-DGCNN part segmentation.
+
+    Same kernel stack as the classifier engine (sv_round_first, sv_round,
+    sv_point for conv5+svfuse3) with the partseg head (three SVFuse taps,
+    label branch, pointwise conv stack) in XLA. The sv_point output's
+    j-major SVFuse channels are permuted back to the reference's c-major
+    order with one channel gather, so the stock head params apply unchanged.
+    """
+
+    def __init__(
+        self,
+        variables: dict,
+        num_part: int = 50,
+        k: int = 40,
+        binary: bool = True,
+        tile: int = 64,
+        exact: bool = True,
+        interpret: bool = False,
+    ):
+        self.p = variables["params"]
+        self.bs = variables["batch_stats"]
+        self.k = k
+        self.binary = binary
+        self.tile = tile
+        self.exact = exact
+        self.interpret = interpret
+
+        self.dims = {
+            "conv1": (_V(32), _V(10)),
+            "conv2": (_V(32), _V(10)),
+            "conv3": (_V(64), _V(21)),
+            "conv4": (_V(128), _V(42)),
+        }
+        s1, v1 = self.dims["conv1"]
+        rounds = {
+            "conv2": (s1, v1, *self.dims["conv2"]),
+            "conv3": (self.dims["conv2"][0], self.dims["conv2"][1], *self.dims["conv3"]),
+            "conv4": (self.dims["conv3"][0], self.dims["conv3"][1], *self.dims["conv4"]),
+        }
+        self.rounds = rounds
+        self.folded = {
+            name: jax.tree.map(
+                jnp.asarray,
+                fold_svblock_params(self.p[name], self.bs[name], S, V, binary),
+            )
+            for name, (S, V, _, _) in rounds.items()
+        }
+        self.folded_first = jax.tree.map(
+            jnp.asarray,
+            fold_first_params(
+                self.p["init_scalar"], self.p["conv1"], self.bs["conv1"]
+            ),
+        )
+        # conv5 + svfuse3 fusion dims
+        self.S_c = s1 + self.dims["conv2"][0] + self.dims["conv3"][0] + self.dims["conv4"][0]
+        self.V_c = v1 + self.dims["conv2"][1] + self.dims["conv3"][1] + self.dims["conv4"][1]
+        self.S5, self.V5 = _V(512), _V(1024 // 6)
+        self.folded_point = jax.tree.map(
+            jnp.asarray,
+            fold_point_params(
+                self.p["conv5"], self.bs["conv5"], self.p["svfuse3"],
+                S=self.S_c, V=self.V_c, binary=binary,
+            ),
+        )
+        # j-major -> c-major channel permutation of the sv_point output
+        inv = [0] * (3 * self.V5)
+        for j in range(3):
+            for c in range(self.V5):
+                inv[c * 3 + j] = j * self.V5 + c
+        self.fuse3_perm = jnp.asarray(
+            list(range(self.S5)) + [self.S5 + i for i in inv], dtype=jnp.int32
+        )
+        self._jit_forward = jax.jit(self._forward)
+
+    def _forward(self, points: jax.Array, label: jax.Array) -> jax.Array:
+        p, bs, k = self.p, self.bs, self.k
+        B, N = points.shape[0], points.shape[1]
+        binary = self.binary
+
+        s1_dim, v1_dim = self.dims["conv1"]
+        s1, v1_flat, s_mean = sv_round_first(
+            points, self.folded_first,
+            S_out=s1_dim, V_out=v1_dim, k=k,
+            T=min(max(self.tile * 4, 64), N),
+            exact=self.exact, interpret=self.interpret,
+        )
+        g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
+        v1 = v1_flat.reshape(B, N, 3, v1_dim) * g[:, None, None, :]
+
+        outs = [(s1, v1)]
+        for name, (S, V, S_out, V_out) in self.rounds.items():
+            s_in, v_in = outs[-1]
+            joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
+            so, vo, se_mean = sv_round(
+                joint, self.folded[name],
+                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                T=min(max(self.tile * 4, 64), N),
+                binary=binary, exact=self.exact, interpret=self.interpret,
+            )
+            gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
+            gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
+            vo = vo * jnp.tile(gg, (1, 3))[:, None, :]
+            outs.append((so, vo.reshape(B, N, 3, V_out)))
+
+        s_c = jnp.concatenate([o[0] for o in outs], axis=-1)  # (B, N, S_c)
+        v_c = jnp.concatenate([o[1] for o in outs], axis=-1)  # (B, N, 3, V_c)
+
+        # svfuse1 -> per-point fine features (reference channel order)
+        x_fine = jnp.concatenate(
+            [s_c, _v2s_eval(p["svfuse1"]["v2s"], v_c, binary)], axis=-1
+        )
+
+        # conv5 + svfuse3 fused per point
+        gm = jnp.mean(s_c, axis=1)
+        g5 = jax.nn.relu(gm @ p["conv5"]["gate_fc1"]["kernel"])
+        g5 = jax.nn.sigmoid(g5 @ p["conv5"]["gate_fc2"]["kernel"])
+        src5 = jnp.concatenate([s_c, v_c.reshape(B, N, -1)], axis=-1)
+        x, s5_max, v5_mean = sv_point_block(
+            src5, g5, self.folded_point,
+            S=self.S_c, V=self.V_c, S_out=self.S5, V_out=self.V5,
+            T=min(self.tile * 2, N),
+            binary=binary, exact=self.exact, interpret=self.interpret,
+        )
+        x = jnp.take(x, self.fuse3_perm, axis=-1)  # back to c-major
+
+        # pooled token path (B, 1, ·): conv6 SVBlock + svfuse2 in XLA — tiny
+        sp = s5_max[:, None, :]
+        vp = v5_mean.reshape(B, 1, 3, self.V5)
+        sp, vp = _svblock_eval(p["conv6"], bs["conv6"], sp, vp, binary)
+        x_pool = jnp.concatenate(
+            [sp, _v2s_eval(p["svfuse2"]["v2s"], vp, binary)], axis=-1
+        )  # (B, 1, ·)
+
+        x_max = jnp.max(x, axis=1, keepdims=True)  # (B, 1, S5 + 3*V5)
+
+        l = _linear_eval(p["conv7"], label, False, False)
+        l = _bn_eval(p["bn7"]["bn"], bs["bn7"]["bn"], l)
+        l = jax.nn.leaky_relu(l, negative_slope=0.2)[:, None, :]
+
+        gcat = jnp.concatenate([x_max, x_pool, l], axis=-1)
+        gcat = jnp.broadcast_to(gcat, (B, N, gcat.shape[-1]))
+        net = jnp.concatenate([gcat, x_fine], axis=-1)
+
+        for name in ("conv8", "conv9", "conv10"):
+            net = _linear_eval(p[name]["conv"], net, binary, binary)
+            net = _bn_eval(p[name]["bn"], bs[name]["bn"], net)
+            net = jax.nn.leaky_relu(net, negative_slope=0.2)
+        return _linear_eval(p["conv11"], net, False, False)
+
+    def __call__(self, points: jax.Array, label: jax.Array) -> jax.Array:
+        return self._jit_forward(points, label)

@@ -31,7 +31,7 @@ def _point_kernel(
     src_ref, gate_ref,
     wz_ref, w1_ref, beta_ref, a1_ref, b1_ref,
     w2_ref, scale2_ref, a2_ref, b2_ref, wzf_ref,
-    out_ref,
+    out_ref, smax_ref, vsum_ref,
     *, S: int, V: int, S_out: int, V_out: int, T: int, binary: bool,
     exact: bool,
 ):
@@ -94,6 +94,12 @@ def _point_kernel(
         svf.append(acc)  # (T, V_out)
 
     out_ref[0] = jnp.concatenate([s5] + svf, axis=1)  # (T, S_out + 3*V_out)
+    # per-tile pooled partials of the (gated) conv5 output, for consumers
+    # that need the pre-SVFuse block output pooled over N (partseg conv6)
+    smax_ref[0, 0] = jnp.max(s5, axis=0, keepdims=True)
+    vsum_ref[0, 0] = jnp.concatenate(
+        [jnp.sum(v5[i], axis=0, keepdims=True) for i in range(3)], axis=1
+    )
 
 
 @functools.partial(
@@ -107,11 +113,13 @@ def sv_point_block(
     *, S: int, V: int, S_out: int, V_out: int, T: int = 128,
     binary: bool = True, exact: bool = True, interpret: bool = False,
 ) -> jax.Array:
-    """Returns x (B, N, S_out + 3*V_out) with SVFuse channels j-major."""
+    """Returns (x (B, N, S_out + 3*V_out) with SVFuse channels j-major,
+    s5_max (B, S_out) pooled scalars, v5_mean (B, 3*V_out) pooled vectors
+    of the gated conv5 output)."""
     B, N, Cin = src.shape
     assert N % T == 0
     const = lambda b, t: (0, 0)
-    return pl.pallas_call(
+    x, smax, vsum = pl.pallas_call(
         functools.partial(
             _point_kernel,
             S=S, V=V, S_out=S_out, V_out=V_out, T=T, binary=binary, exact=exact,
@@ -131,12 +139,18 @@ def sv_point_block(
             pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((V_out, 3), const, memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (1, T, S_out + 3 * V_out), lambda b, t: (b, t, 0),
-            memory_space=pltpu.VMEM,
+        out_specs=(
+            pl.BlockSpec(
+                (1, T, S_out + 3 * V_out), lambda b, t: (b, t, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, 1, S_out), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 3 * V_out), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
         ),
-        out_shape=jax.ShapeDtypeStruct(
-            (B, N, S_out + 3 * V_out), jnp.float32
+        out_shape=(
+            jax.ShapeDtypeStruct((B, N, S_out + 3 * V_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 1, S_out), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 1, 3 * V_out), jnp.float32),
         ),
         interpret=interpret,
     )(
@@ -145,6 +159,9 @@ def sv_point_block(
         folded["w2"], folded["scale2"], folded["a2"], folded["b2"],
         folded["wzf"],
     )
+    s5_max = jnp.max(smax[:, :, 0, :], axis=1)  # (B, S_out)
+    v5_mean = jnp.sum(vsum[:, :, 0, :], axis=1) / N  # (B, 3*V_out)
+    return x, s5_max, v5_mean
 
 
 def fold_point_params(
