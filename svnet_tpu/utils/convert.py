@@ -56,13 +56,88 @@ MODEL_RULES: Dict[str, list] = {
         (r"^conv(8|9|10)\.0\.", r"conv\1."),
         (r"^conv(8|9|10)\.1\.", r"bn\1."),
     ],
-    "vn_pointnet_cls": [],
-    "vn_pointnet_partseg": [],
+    # standalone torch VNLinear modules wrap the weight as .map_to_feat;
+    # our standalone VNLinear stores the kernel directly
+    "vn_pointnet_cls": [
+        (r"^feat\.conv3\.map_to_feat\.", "feat.conv3."),
+        (r"^feat\.fstn\.fc3\.map_to_feat\.", "feat.fstn.fc3."),
+    ],
+    "vn_pointnet_partseg": [
+        (r"^conv5\.map_to_feat\.", "conv5."),
+        (r"^fstn\.fc3\.map_to_feat\.", "fstn.fc3."),
+    ],
 }
 
 # VN layers: torch nn.Linear submodules inside VN wrappers keep their names
 # (map_to_feat/map_to_dir/vn_lin); our VNLinear stores the kernel directly,
 # so `<name>.weight` -> `<name>.kernel`(T) falls out of the generic rule.
+#
+# VN flatten-order fixups: the reference flattens invariant read-outs from
+# channels-first (B, C, 3, N) as c-major/i-minor; our channels-last layout
+# flattens i-major/c-minor. Linears that consume such flattened features
+# get their input rows permuted per block below.
+
+
+def _vn_flat_perm(C: int) -> np.ndarray:
+    """perm such that new_rows[i*C + c] = old_rows[c*3 + i]."""
+    p = np.empty(3 * C, dtype=np.int64)
+    for i in range(3):
+        for c in range(C):
+            p[i * C + c] = c * 3 + i
+    return p
+
+
+def _permute_rows(params: dict, path: list, blocks) -> None:
+    """Permute kernel input rows blockwise: blocks = [(offset, C_or_None)].
+
+    C given -> apply _vn_flat_perm within [offset, offset+3C); None -> leave.
+    """
+    node = params
+    for seg in path[:-1]:
+        node = node[seg]
+    w = np.asarray(node[path[-1]])
+    perm = np.arange(w.shape[0])
+    for offset, C in blocks:
+        if C is not None:
+            perm[offset : offset + 3 * C] = offset + _vn_flat_perm(C)
+    node[path[-1]] = w[perm, :]
+
+
+def _post_vn_dgcnn_cls(params: dict) -> None:
+    C = (1024 // 3) * 2  # 682 invariant channels per pool half
+    _permute_rows(params, ["linear1", "kernel"], [(0, C), (3 * C, C)])
+
+
+def _post_vn_pointnet_cls(params: dict) -> None:
+    C = (1024 // 3) * 2
+    _permute_rows(params, ["fc1", "kernel"], [(0, C)])
+
+
+def _post_vn_dgcnn_partseg(params: dict) -> None:
+    C_std = (1024 // 3) * 2  # 682: x read-out
+    C_123 = (64 // 3) * 3  # 63: projected skip features
+    _permute_rows(
+        params, ["conv8", "kernel"],
+        [(0, C_std), (3 * C_std + 64, C_123)],
+    )
+
+
+def _post_vn_pointnet_partseg(params: dict) -> None:
+    C_std = (2048 // 3) * 2  # 1364
+    C_1234 = 64 // 3 + 128 // 3 + 128 // 3 + 512 // 3  # 275
+    off = 3 * C_std + 16
+    _permute_rows(
+        params, ["convs1", "kernel"],
+        [(0, C_std), (off, C_1234), (off + 3 * C_1234, C_std)],
+    )
+
+
+POST_HOOKS = {
+    "vn_dgcnn_cls": _post_vn_dgcnn_cls,
+    "vn_pointnet_cls": _post_vn_pointnet_cls,
+    "vn_dgcnn_partseg": _post_vn_dgcnn_partseg,
+    "vn_pointnet_partseg": _post_vn_pointnet_partseg,
+}
 
 
 def _strip_module(key: str) -> str:
@@ -127,6 +202,9 @@ def convert_state_dict(
                 _nest(params, segs + ["bias"], v)
             else:  # unknown leaf: keep under its own name
                 _nest(params, segs + [leaf], v)
+    hook = POST_HOOKS.get(model)
+    if hook is not None:
+        hook(params)
     return {"params": params, "batch_stats": batch_stats}
 
 
