@@ -214,8 +214,12 @@ class Vector2Scalar(nn.Module):
         z = Linear(self.multi, use_bias=False, bw=self.bw, name="linear")(
             v, train
         )  # (..., 3, multi)
-        # s[..., c, j] = sum_i v[..., i, c] * z[..., i, j]
-        s = jnp.einsum("...ic,...ij->...cj", v, z)
+        # s[..., c, j] = sum_i v[..., i, c] * z[..., i, j] — written as an
+        # unrolled outer-product accumulate: the 3-length contraction would
+        # otherwise lower to a tiny batched matmul the MXU handles poorly
+        s = sum(
+            v[..., i, :, None] * z[..., i, None, :] for i in range(3)
+        )  # (..., C, multi)
         s = s.reshape(s.shape[:-2] + (-1,))
         if self.trans_back:
             return s, z

@@ -131,16 +131,21 @@ def get_graph_feature_sv(
     """
     s, v = x
     B, N = s.shape[0], s.shape[1]
+    S = s.shape[-1]
+    V = v.shape[-1]
+    joint = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
     if idx is None:
-        joint = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
         idx = knn(joint, k)
 
-    s_nbr = gather_neighbors(s, idx)  # (B, N, k, S)
-    s_ctr = jnp.broadcast_to(s[:, :, None], s_nbr.shape)
-    s_feat = jnp.concatenate([s_nbr - s_ctr, s_ctr], axis=-1)
+    # one gather over the joint features instead of two
+    nbr = gather_neighbors(joint, idx)  # (B, N, k, S + 3V)
+    ctr = jnp.broadcast_to(joint[:, :, None], nbr.shape)
 
-    v_nbr = gather_neighbors(v, idx)  # (B, N, k, 3, V)
-    v_ctr = jnp.broadcast_to(v[:, :, None], v_nbr.shape)
+    s_feat = jnp.concatenate(
+        [nbr[..., :S] - ctr[..., :S], ctr[..., :S]], axis=-1
+    )
+    v_nbr = nbr[..., S:].reshape(B, N, k, 3, V)
+    v_ctr = ctr[..., S:].reshape(B, N, k, 3, V)
     v_feat = jnp.concatenate([v_nbr - v_ctr, v_ctr], axis=-1)
     return s_feat, v_feat
 
