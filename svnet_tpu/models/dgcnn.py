@@ -85,12 +85,18 @@ class Transform_Net(nn.Module):
         x = svl.BatchNorm(name="bn4")(x, train)
         x = nn.leaky_relu(x, negative_slope=0.2)
         # zero kernel + identity bias (ref :38-39 intent)
-        kernel = self.param("transform_kernel", nn.initializers.zeros, (256, 9))
-        bias = self.param(
-            "transform_bias", lambda *_: jnp.eye(3).reshape(9), (9,)
-        )
-        x = x @ kernel + bias
+        x = _TransformHead(name="transform")(x)
         return x.reshape(B, 3, 3)
+
+
+class _TransformHead(nn.Module):
+    """256 -> 9 linear, zero-kernel / identity-bias initialized."""
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param("kernel", nn.initializers.zeros, (x.shape[-1], 9))
+        bias = self.param("bias", lambda *_: jnp.eye(3).reshape(9), (9,))
+        return x @ kernel + bias
 
 
 class DGCNN_PSEG(nn.Module):

@@ -56,6 +56,40 @@ MODEL_RULES: Dict[str, list] = {
         (r"^conv(8|9|10)\.0\.", r"conv\1."),
         (r"^conv(8|9|10)\.1\.", r"bn\1."),
     ],
+    # classic PointNet: torch STNkd/encoder number their BNs bn1..bn5; our
+    # _lin_bn_relu names them after the linear they normalize
+    "pointnet_cls": [
+        (r"(^|\.)(stn|fstn)\.bn([123])\.", r"\1\2.bn_conv\3."),
+        (r"(^|\.)(stn|fstn)\.bn4\.", r"\1\2.bn_fc1."),
+        (r"(^|\.)(stn|fstn)\.bn5\.", r"\1\2.bn_fc2."),
+        (r"^feat\.bn([123])\.", r"feat.bn_conv\1."),
+    ],
+    "pointnet_partseg": [
+        (r"(^|\.)(stn|fstn)\.bn([123])\.", r"\1\2.bn_conv\3."),
+        (r"(^|\.)(stn|fstn)\.bn4\.", r"\1\2.bn_fc1."),
+        (r"(^|\.)(stn|fstn)\.bn5\.", r"\1\2.bn_fc2."),
+        (r"^bn([1-5])\.", r"bn_conv\1."),
+        (r"^bns([1-3])\.", r"bn_convs\1."),
+    ],
+    # classic DGCNN: Sequential(conv, shared-bn, lrelu) stacks — the conv is
+    # index .0, the (duplicated) shared BN appears both as .1 and as bnX
+    "dgcnn_cls": [
+        (r"^conv([0-9]+)\.0\.", r"conv\1."),
+        (r"^conv([0-9]+)\.1\.", r"bn_conv\1."),
+        (r"^bn([1-5])\.", r"bn_conv\1."),
+    ],
+    "dgcnn_partseg": [
+        (r"^(transform_net\.)conv([123])\.0\.", r"\1conv\2."),
+        (r"^(transform_net\.)conv([123])\.1\.", r"\1bn_conv\2."),
+        (r"^(transform_net\.)bn([12])\.", r"\1bn_conv\2."),
+        (r"^conv7\.0\.", "conv7."),
+        (r"^conv7\.1\.", "bn7."),
+        (r"^conv([0-9]+)\.0\.", r"conv\1."),
+        (r"^conv([0-9]+)\.1\.", r"bn_conv\1."),
+        # bn7 is the label-branch BN and keeps its name; the rest follow
+        # the bn_convX convention
+        (r"^bn(1|2|3|4|5|6|8|9|10)\.", r"bn_conv\1."),
+    ],
     # standalone torch VNLinear modules wrap the weight as .map_to_feat;
     # our standalone VNLinear stores the kernel directly
     "vn_pointnet_cls": [
@@ -191,7 +225,9 @@ def convert_state_dict(
             if leaf == "num_batches_tracked":
                 continue
             if leaf == "weight":
-                if v.ndim == 3:  # 1x1 conv (out, in, 1)
+                if v.ndim == 4:  # 1x1 Conv2d (out, in, 1, 1)
+                    v = v[:, :, 0, 0]
+                elif v.ndim == 3:  # 1x1 Conv1d (out, in, 1)
                     v = v[:, :, 0]
                 if v.ndim == 2:
                     v = v.T  # (out, in) -> (in, out)
