@@ -46,6 +46,13 @@ from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
 EPS = 1e-6
 BN_EPS = 1e-5
 
+
+def _auto_round_tile(N: int, tile: int) -> int:
+    """Point-tile for the sv_round kernels: the selection state is ~3 live
+    (T, N) f32/int32 buffers, so T shrinks as N grows to stay within VMEM."""
+    budget = max(9_000_000 // (12 * N), 64)
+    return int(min(max(tile * 4, 64), N, budget // 64 * 64 or 64))
+
 # (S_in, V_in, S_out, V_out) per fused round of SV_DGCNN_CLS
 _ROUNDS = {
     "conv2": (64 // 2, 64 // 6, 64 // 2, 64 // 6),
@@ -189,7 +196,7 @@ class SVDGCNNClsEngine:
             s1, v1_flat, s_mean = sv_round_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
-                T=min(max(self.tile * 4, 64), N),
+                T=_auto_round_tile(N, self.tile),
                 exact=self.exact, interpret=self.interpret,
             )
         else:
@@ -215,7 +222,7 @@ class SVDGCNNClsEngine:
             if self.rounds_impl == "round":
                 # sv_round holds no (k*T, C) tensors, so a much larger tile
                 # fits VMEM and amortizes the per-program weight loads
-                t_round = min(max(self.tile * 4, 64), N)
+                t_round = _auto_round_tile(N, self.tile)
                 so, vo, se_mean = sv_round(
                     joint, self.folded[name],
                     S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
@@ -368,7 +375,7 @@ class SVDGCNNPsegEngine:
         s1, v1_flat, s_mean = sv_round_first(
             points, self.folded_first,
             S_out=s1_dim, V_out=v1_dim, k=k,
-            T=min(max(self.tile * 4, 64), N),
+            T=_auto_round_tile(N, self.tile),
             exact=self.exact, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
@@ -382,7 +389,7 @@ class SVDGCNNPsegEngine:
             so, vo, se_mean = sv_round(
                 joint, self.folded[name],
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                T=min(max(self.tile * 4, 64), N),
+                T=_auto_round_tile(N, self.tile),
                 binary=binary, exact=self.exact, interpret=self.interpret,
             )
             gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])

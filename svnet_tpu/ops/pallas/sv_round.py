@@ -344,6 +344,9 @@ def sv_round_first(
             jax.ShapeDtypeStruct((B, N, 3 * V_out), jnp.float32),
             jax.ShapeDtypeStruct((B, N // T, 1, 6), jnp.float32),
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ),
         interpret=interpret,
     )(
         points,
@@ -405,6 +408,9 @@ def sv_round(
             jax.ShapeDtypeStruct((B, N, S_out), jnp.float32),
             jax.ShapeDtypeStruct((B, N, 3 * V_out), jnp.float32),
             jax.ShapeDtypeStruct((B, N // T, 1, max(2 * S, 1)), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
         ),
         interpret=interpret,
     )(
