@@ -130,10 +130,13 @@ class SVDGCNNClsEngine:
         knn_impl: str = "pallas",
         exact: bool = True,
         rounds_impl: str = "round",
-        interpret: bool = False,
+        interpret: bool | None = None,
     ):
         """``rounds_impl``: 'round' = fully-fused kNN+block kernel per DGCNN
-        round (sv_round); 'edge' = separate kNN + idx-consuming sv_edge."""
+        round (sv_round); 'edge' = separate kNN + idx-consuming sv_edge.
+        ``interpret=None`` auto-enables Pallas interpret mode off-TPU."""
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
         self.p = variables["params"]
         self.bs = variables["batch_stats"]
         self.k = k
@@ -309,8 +312,10 @@ class SVDGCNNPsegEngine:
         binary: bool = True,
         tile: int = 64,
         exact: bool = True,
-        interpret: bool = False,
+        interpret: bool | None = None,
     ):
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
         self.p = variables["params"]
         self.bs = variables["batch_stats"]
         self.k = k

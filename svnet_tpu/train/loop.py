@@ -248,6 +248,13 @@ def run_cls(args) -> Optional[float]:
     rng = jax.random.PRNGKey(args.seed + 123)
 
     if args.test is not None:
+        if (
+            getattr(args, "fused", False)
+            and args.model == "svnet"
+            and args.backbone == "dgcnn"
+        ):
+            eval_step = _fused_cls_eval_step(args, state)
+            log_string("evaluating with the fused Pallas engine")
         acc, avg_acc, loss = _eval_cls(
             eval_step, state, test_loader, rng, log_string, shard_batch
         )
@@ -378,6 +385,43 @@ def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
     return step
 
 
+def _fused_cls_eval_step(args, state):
+    """--test evaluation through the fused Pallas engine (--fused)."""
+    from svnet_tpu.infer import SVDGCNNClsEngine
+
+    eng = SVDGCNNClsEngine(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        k=args.k, binary=args.binary,
+    )
+
+    @jax.jit
+    def step(params, batch_stats, batch, rng):
+        pts = ops.apply_rotation_aug(rng, batch["points"], args.rot_test)
+        logits = eng._forward(pts)
+        loss = cal_loss(logits, batch["target"])
+        return loss, jnp.argmax(logits, axis=-1)
+
+    return step
+
+
+def _fused_pseg_eval_step(args, state):
+    from svnet_tpu.infer import SVDGCNNPsegEngine
+
+    eng = SVDGCNNPsegEngine(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        k=args.k, binary=args.binary,
+    )
+
+    @jax.jit
+    def step(params, batch_stats, batch, rng):
+        pts = ops.apply_rotation_aug(rng, batch["points"], args.rot_test)
+        logits = eng._forward(pts, batch["label"])
+        loss = cal_loss(logits, batch["target"], smoothing=args.smoothing)
+        return loss, jnp.argmax(logits, axis=-1)
+
+    return step
+
+
 def _fp_copy(args):
     import copy
 
@@ -497,6 +541,13 @@ def run_partseg(args) -> Optional[float]:
     rng = jax.random.PRNGKey(args.seed + 123)
 
     if args.test is not None:
+        if (
+            getattr(args, "fused", False)
+            and args.model == "svnet"
+            and args.backbone == "dgcnn"
+        ):
+            eval_step = _fused_pseg_eval_step(args, state)
+            log_string("evaluating with the fused Pallas engine")
         iou, acc, loss = _eval_pseg(
             eval_step, state, test_loader, rng, log_string, shard_batch
         )
