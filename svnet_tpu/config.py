@@ -30,6 +30,13 @@ _PRECISIONS = {
 
 knn_precision: str = "highest"
 binary_matmul: str = "int8"
+knn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+
+
+def set_knn_impl(name: str) -> None:
+    global knn_impl
+    assert name in ("auto", "xla", "pallas"), name
+    knn_impl = name
 
 
 def set_knn_precision(name: str) -> None:

@@ -60,6 +60,10 @@ def knn(x: jax.Array, k: int, *, include_self: bool = True) -> jax.Array:
     The self-point has distance 0 (the maximum of the negated distances), so
     it is always among the k results, matching the reference behaviour.
 
+    Dispatches to the tiled Pallas kernel on TPU (config.knn_impl='auto') —
+    indices carry no gradient, so the kernel is train-safe; the XLA
+    sort-based path remains for CPU and for strict torch-topk tie ordering.
+
     Args:
       x: (B, N, C) point features, channels-last.
       k: number of neighbours.
@@ -68,6 +72,21 @@ def knn(x: jax.Array, k: int, *, include_self: bool = True) -> jax.Array:
       (B, N, k) int32 neighbour indices into the N axis.
     """
     del include_self  # self always wins top-k at distance 0; kept for API clarity
+    from svnet_tpu import config
+
+    impl = config.knn_impl
+    if impl == "auto":
+        impl = (
+            "pallas"
+            if jax.default_backend() == "tpu" and x.shape[1] % 128 == 0
+            else "xla"
+        )
+    if impl == "pallas":
+        from svnet_tpu.ops.pallas.knn import knn_pallas
+
+        # indices are non-differentiable; stop_gradient keeps autodiff from
+        # tracing into the kernel (pallas_call has no JVP rule)
+        return knn_pallas(jax.lax.stop_gradient(x), k, tile=128)
     neg_dist = pairwise_neg_sqdist(x)
     _, idx = jax.lax.top_k(neg_dist, k)
     return idx.astype(jnp.int32)
