@@ -91,19 +91,18 @@ class BiSTNkd(nn.Module):
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         B, N = x.shape[0], x.shape[1]
-        first_cls = self.linear_cls if self.bi_first else _FPLinear
+        # ref: BiSTN3d (k=3) keeps an FP first conv unless bi_first
+        # (bipointnet.py:62-65); BiSTNkd (feature T-Net) binarizes it always
+        # (bipointnet.py:111)
+        if self.k == 3 and not self.bi_first:
+            first_cls = _FPLinear
+        else:
+            first_cls = self.linear_cls
         x = _ConvBNHt(64, first_cls, self.affine, name="conv1")(x, train)
         x = _ConvBNHt(128, self.linear_cls, self.affine, name="conv2")(x, train)
         if self.pool == "ema-max":
             x = self.linear_cls(1024, name="conv3_lin")(x, train)
-            x = nn.BatchNorm(
-                use_running_average=not train,
-                momentum=0.9,
-                epsilon=1e-5,
-                use_bias=self.affine,
-                use_scale=self.affine,
-                name="conv3_bn",
-            )(x)
+            x = svl.BatchNorm(name="conv3_bn")(x, train)
             x = jnp.max(x + ema_max_offset(N), axis=1)
         else:
             x = _ConvBNHt(1024, self.linear_cls, self.affine, name="conv3")(x, train)
@@ -161,14 +160,7 @@ class BiPointNetEncoder(nn.Module):
 
         x = _ConvBNHt(128, self.linear_cls, self.affine, name="conv2")(x, train)
         x = self.linear_cls(1024, name="conv3_lin")(x, train)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            use_bias=self.affine,
-            use_scale=self.affine,
-            name="conv3_bn",
-        )(x)
+        x = svl.BatchNorm(name="conv3_bn")(x, train)
 
         if self.pool == "ema-max":
             x = jnp.max(x, axis=1) + ema_max_offset(N)
@@ -233,14 +225,7 @@ class BiPointNet_PSEG(nn.Module):
             net_transformed, train
         )
         out5 = linear_cls(2048, name="conv5_lin")(out4, train)
-        out5 = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=0.9,
-            epsilon=1e-5,
-            use_bias=self.affine,
-            use_scale=self.affine,
-            name="conv5_bn",
-        )(out5)
+        out5 = svl.BatchNorm(name="conv5_bn")(out5, train)
 
         if self.pool == "ema-max":
             out_pool = jnp.max(out5, axis=1) + ema_max_offset(N)
@@ -292,10 +277,7 @@ class BiPointNet_SEMSEG(nn.Module):
 
         x = _ConvBNHt(128, linear_cls, self.affine, name="conv2")(x, train)
         x = linear_cls(1024, name="conv3_lin")(x, train)
-        x = nn.BatchNorm(
-            use_running_average=not train, momentum=0.9, epsilon=1e-5,
-            use_bias=self.affine, use_scale=self.affine, name="conv3_bn",
-        )(x)
+        x = svl.BatchNorm(name="conv3_bn")(x, train)
         if self.pool == "ema-max":
             g = jnp.max(x, axis=1) + ema_max_offset(N)
         else:

@@ -90,6 +90,52 @@ MODEL_RULES: Dict[str, list] = {
         # the bn_convX convention
         (r"^bn(1|2|3|4|5|6|8|9|10)\.", r"bn_conv\1."),
     ],
+    # BiPointNet (LSR + ema-max exports): torch wraps pointwise convs as
+    # Conv1d(.lin) with separately-registered BNs; our _ConvBNHt nests
+    # lin/bn (FP first convs nest one level deeper through _FPLinear).
+    # Order matters: BN renames run before the fc-weight renames so the
+    # fcX.bn paths they create are not rewritten again.
+    "bipointnet_cls": [
+        (r"(^|\.)(stn|fstn)\.bn1\.", r"\1\2.conv1.bn."),
+        (r"(^|\.)(stn|fstn)\.bn2\.", r"\1\2.conv2.bn."),
+        (r"(^|\.)(stn|fstn)\.bn3\.", r"\1\2.conv3_bn."),
+        (r"(^|\.)(stn|fstn)\.bn4\.", r"\1\2.fc1.bn."),
+        (r"(^|\.)(stn|fstn)\.bn5\.", r"\1\2.fc2.bn."),
+        (r"(^|\.)stn\.conv1\.lin\.", r"\1stn.conv1.lin.lin."),
+        (r"(^|\.)fstn\.conv1\.lin\.", r"\1fstn.conv1.lin."),
+        (r"(^|\.)(stn|fstn)\.conv2\.lin\.", r"\1\2.conv2.lin."),
+        (r"(^|\.)(stn|fstn)\.conv3\.lin\.", r"\1\2.conv3_lin."),
+        (r"(^|\.)(stn|fstn)\.fc([12])\.(weight|scale)$", r"\1\2.fc\3.lin.\4"),
+        (r"^feat\.bn1\.", "feat.conv1.bn."),
+        (r"^feat\.bn2\.", "feat.conv2.bn."),
+        (r"^feat\.bn3\.", "feat.conv3_bn."),
+        (r"^feat\.conv1\.lin\.", "feat.conv1.lin.lin."),
+        (r"^feat\.conv2\.lin\.", "feat.conv2.lin."),
+        (r"^feat\.conv3\.lin\.", "feat.conv3_lin."),
+        (r"^bn1\.", "fc1.bn."),
+        (r"^bn2\.", "fc2.bn."),
+        (r"^fc([12])\.(weight|scale)$", r"fc\1.lin.\2"),
+    ],
+    "bipointnet_partseg": [
+        (r"(^|\.)(stn|fstn)\.bn1\.", r"\1\2.conv1.bn."),
+        (r"(^|\.)(stn|fstn)\.bn2\.", r"\1\2.conv2.bn."),
+        (r"(^|\.)(stn|fstn)\.bn3\.", r"\1\2.conv3_bn."),
+        (r"(^|\.)(stn|fstn)\.bn4\.", r"\1\2.fc1.bn."),
+        (r"(^|\.)(stn|fstn)\.bn5\.", r"\1\2.fc2.bn."),
+        (r"(^|\.)stn\.conv1\.lin\.", r"\1stn.conv1.lin.lin."),
+        (r"(^|\.)fstn\.conv1\.lin\.", r"\1fstn.conv1.lin."),
+        (r"(^|\.)(stn|fstn)\.conv2\.lin\.", r"\1\2.conv2.lin."),
+        (r"(^|\.)(stn|fstn)\.conv3\.lin\.", r"\1\2.conv3_lin."),
+        (r"(^|\.)(stn|fstn)\.fc([12])\.(weight|scale)$", r"\1\2.fc\3.lin.\4"),
+        (r"^conv1\.lin\.", "conv1.lin.lin."),
+        (r"^conv([2-4])\.lin\.", r"conv\1.lin."),
+        (r"^conv5\.lin\.", "conv5_lin."),
+        (r"^bn([1-4])\.", r"conv\1.bn."),
+        (r"^bn5\.", "conv5_bn."),
+        (r"^convs([1-3])\.lin\.", r"convs\1.lin."),
+        (r"^convs4\.lin\.", "convs4."),
+        (r"^bns([1-3])\.", r"convs\1.bn."),
+    ],
     # standalone torch VNLinear modules wrap the weight as .map_to_feat;
     # our standalone VNLinear stores the kernel directly
     "vn_pointnet_cls": [
@@ -233,7 +279,8 @@ def convert_state_dict(
                     v = v.T  # (out, in) -> (in, out)
                 _nest(params, segs + ["kernel"], v)
             elif leaf in ("beta", "scale"):
-                _nest(params, segs + [leaf], v.reshape(-1))
+                # BiLinearLSR's scale is a 0-dim scalar; keep its shape
+                _nest(params, segs + [leaf], v.reshape(-1) if v.ndim else v)
             elif leaf == "bias":
                 _nest(params, segs + ["bias"], v)
             else:  # unknown leaf: keep under its own name
