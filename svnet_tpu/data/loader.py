@@ -9,7 +9,7 @@ jit's donate/commit machinery overlaps H2D transfer with compute.
 
 from __future__ import annotations
 
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 

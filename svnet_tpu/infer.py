@@ -18,7 +18,6 @@ param tree — functional eval twins of the flax layers, verified against
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -9,8 +9,6 @@ Linears (bipointnet.py:48-57) are unnecessary here — a pointwise conv over
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 import flax.linen as nn

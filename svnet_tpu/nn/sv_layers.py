@@ -23,7 +23,7 @@ parity):
 from __future__ import annotations
 
 import math
-from typing import Any, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

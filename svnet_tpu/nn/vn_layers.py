@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from svnet_tpu.nn.sv_layers import BatchNorm, torch_linear_init
+from svnet_tpu.nn.sv_layers import torch_linear_init
 
 EPS = 1e-6
 

@@ -10,7 +10,6 @@ distillation), which the reference's logs use but its shipped code lacks
 
 from __future__ import annotations
 
-import os
 import time
 from typing import Optional
 
