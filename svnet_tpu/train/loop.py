@@ -633,3 +633,154 @@ def _eval_pseg(eval_step, state, test_loader, rng, log_string, shard_batch=lambd
     loss = sum(losses) / sum(counts)
     log_string(f"TEST: loss {loss:.6f}, iou {iou:.6f}, point acc {acc:.6f}")
     return iou, acc, loss
+
+
+def run_semseg(args) -> Optional[float]:
+    """Semantic segmentation driver (S3DIS, 13 classes).
+
+    The reference ships the S3DIS dataset (data.py:342-360) and a semseg
+    model (BasicBiPointNetSemSeg) but no driver — this completes that
+    dangling capability with the same loop/checkpoint/logging contracts.
+    """
+    from svnet_tpu.data import S3DIS
+
+    args.task = "semseg"
+    log_string = configure_logging(args.save_dir, "semseg")
+    epoch_string = configure_logging(args.save_dir, "semseg", "log")
+    epoch_string(str(vars(args)))
+
+    model = models.BiPointNet_SEMSEG(num_classes=13)
+    if args.rot != "aligned" or args.rot_test != "aligned":
+        # S3DIS rooms carry 9 features (xyz + rgb + normalized coords);
+        # whole-room rotation augmentation is not meaningful there
+        raise ValueError("semseg supports --rot/--rot-test aligned only")
+
+    def seg_loss(outputs, target):
+        logits, trans_feat = outputs
+        from svnet_tpu.train.losses import feature_transform_regularizer
+
+        return cal_loss(logits, target, smoothing=args.smoothing) + (
+            0.001 * feature_transform_regularizer(trans_feat)
+        )
+
+    train_set = S3DIS(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="train", test_area=args.test_area, seed=args.seed,
+    )
+    test_set = S3DIS(
+        num_points=args.num_points, data_dir=args.data_dir,
+        partition="test", test_area=args.test_area, seed=args.seed + 1,
+    )
+    train_loader = Loader(
+        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+    )
+    test_loader = Loader(test_set, args.batch_size, shuffle=False, pad_last=True)
+    log_string(f"train rooms: {len(train_set)}, test rooms: {len(test_set)}")
+
+    init_batch = next(iter(test_loader))
+    rng0 = jax.random.PRNGKey(args.seed)
+    variables = model.init(rng0, jnp.asarray(init_batch["points"]))
+    tx = make_optimizer(
+        binary=True, lr=args.lr, epochs=args.epochs,
+        steps_per_epoch=max(len(train_loader), 1),
+        momentum=args.momentum, weight_decay=args.wd, recipe="dgcnn",
+    )
+    state = TrainState.create(
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        tx=tx,
+    )
+
+    train_step = jax.jit(make_train_step(model, seg_loss, rot=args.rot))
+    eval_step = jax.jit(make_eval_step(model, seg_loss, rot_test=args.rot_test))
+
+    template = {
+        "epoch": 0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+        "best_metric": 0.0,
+    }
+    start_epoch, best_acc = 0, 0.0
+    ckpt = load_checkpoint(
+        template, args.save_dir, test=args.test,
+        resume_from=args.resume_from, resume=args.resume,
+    )
+    if ckpt is not None:
+        state = state.replace(params=ckpt["params"], batch_stats=ckpt["batch_stats"])
+        if args.test is None:
+            state = state.replace(opt_state=ckpt["opt_state"])
+            start_epoch = ckpt["epoch"] + 1
+            best_acc = ckpt["best_metric"]
+        log_string("checkpoint loaded successfully")
+
+    state, shard_batch = _setup_mesh(args, state)
+    rng = jax.random.PRNGKey(args.seed + 123)
+
+    def evaluate(rng):
+        preds, segs, losses, counts = [], [], [], []
+        for batch in test_loader:
+            rng, sk = jax.random.split(rng)
+            jb = shard_batch({
+                "points": jnp.asarray(batch["points"]),
+                "target": jnp.asarray(batch["target"]),
+            })
+            loss, pr = eval_step(state.params, state.batch_stats, jb, sk)
+            size = batch["size"]
+            losses.append(float(loss) * size)
+            counts.append(size)
+            preds.append(np.asarray(pr)[:size])
+            segs.append(batch["target"][:size])
+        pred = np.concatenate(preds)
+        seg = np.concatenate(segs)
+        acc = float((pred == seg).mean())
+        # mean IoU over the 13 classes present in the ground truth
+        ious = []
+        for c in np.unique(seg):
+            inter = np.logical_and(pred == c, seg == c).sum()
+            union = np.logical_or(pred == c, seg == c).sum()
+            ious.append(inter / union if union else 1.0)
+        miou = float(np.mean(ious))
+        loss = sum(losses) / sum(counts)
+        log_string(f"TEST: loss {loss:.6f}, point acc {acc:.6f}, mIoU {miou:.6f}")
+        return acc, miou, loss
+
+    if args.test is not None:
+        acc, miou, _ = evaluate(rng)
+        return miou
+
+    save_id = None
+    for epoch in range(start_epoch, args.epochs):
+        t0 = time.time()
+        losses, counts = [], []
+        for batch in train_loader:
+            rng, sk = jax.random.split(rng)
+            jb = shard_batch({
+                "points": jnp.asarray(batch["points"]),
+                "target": jnp.asarray(batch["target"]),
+            })
+            state, loss, _ = train_step(state, jb, sk)
+            losses.append(float(loss) * batch["size"])
+            counts.append(batch["size"])
+        train_loss = sum(losses) / max(sum(counts), 1)
+        log_string(f"TRAIN: loss {train_loss:.6f} ({time.time()-t0:.1f}s)")
+        rng, ek = jax.random.split(rng)
+        acc, miou, test_loss = evaluate(ek)
+        is_best = acc >= best_acc
+        best_acc = max(best_acc, acc)
+        save_id = save_checkpoint(
+            {
+                "epoch": epoch,
+                "params": state.params,
+                "batch_stats": state.batch_stats,
+                "opt_state": state.opt_state,
+                "best_metric": best_acc,
+            },
+            epoch, args.save_dir, is_best, save_id,
+        )
+        epoch_string(
+            f"EPOCH {epoch:03d}/{args.epochs:03d} | Test: loss {test_loss:.6f}, "
+            f"acc {acc:.6f}, miou {miou:.6f} | Train: loss {train_loss:.6f} | "
+            f"{time.strftime('%Y-%m-%d-%H-%M-%S')}"
+        )
+    return best_acc
