@@ -46,3 +46,18 @@ def test_engine_fast_mode_close(binary=True):
     )
     got = np.asarray(eng(points))
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_engine_rotation_invariant_predictions():
+    """The z/so(3) protocol through the FUSED path: logits invariant."""
+    from svnet_tpu import ops
+
+    _, points, variables, _ = _setup(False)
+    eng = SVDGCNNClsEngine(
+        variables, num_classes=40, k=K, binary=False,
+        knn_impl="xla", exact=True, interpret=True,
+    )
+    R = ops.random_rotations(jax.random.PRNGKey(9), B)
+    out = np.asarray(eng(points))
+    out_r = np.asarray(eng(ops.rotate_points(points, R)))
+    np.testing.assert_allclose(out_r, out, rtol=2e-2, atol=2e-3)
