@@ -284,14 +284,6 @@ def _make_div(v, divisor=8):
 
 _V = _make_div
 
-# partseg round dims (make_divisible widths, ref sv_dgcnn_partseg.py:50-53)
-_PSEG_ROUNDS = {
-    "conv2": (_V(32), _V(10), _V(32), _V(10)),
-    "conv3": (2 * _V(32), 2 * _V(10), _V(64), _V(21)),
-    "conv4": (2 * _V(64), 2 * _V(21), _V(128), _V(42)),
-}
-# NOTE: conv2 input is (2*_V(32), 2*_V(10)) edge channels of round-1 output
-
 
 class SVDGCNNPsegEngine:
     """Fused eval engine for SV-DGCNN part segmentation.
