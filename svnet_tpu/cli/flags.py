@@ -67,6 +67,9 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
                    help="KD: train against the frozen --preload teacher")
     p.add_argument("--profile-dir", metavar="DIR", default=None,
                    help="write a jax.profiler trace of a few train steps")
+    p.add_argument("--debug-nans", action="store_true",
+                   help="enable jax_debug_nans (the sanitizer story for"
+                        " jitted TPU code, SURVEY.md §5.2)")
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas inference engine for --test"
                         " evaluation (svnet+dgcnn only)")

@@ -143,6 +143,8 @@ def _make_state(args, model, init_batch, steps_per_epoch, with_label=False):
 def run_cls(args) -> Optional[float]:
     """Classification driver (ModelNet40 / ScanObjectNN)."""
     args.task = "cls"
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     log_string = configure_logging(args.save_dir, "cls")
     epoch_string = configure_logging(args.save_dir, "cls", "log")
     epoch_string(str(vars(args)))
@@ -432,6 +434,8 @@ def _fp_copy(args):
 def run_partseg(args) -> Optional[float]:
     """Part segmentation driver (ShapeNetPart)."""
     args.task = "partseg"
+    if getattr(args, "debug_nans", False):
+        jax.config.update("jax_debug_nans", True)
     log_string = configure_logging(args.save_dir, "partseg")
     epoch_string = configure_logging(args.save_dir, "partseg", "log")
     epoch_string(str(vars(args)))
