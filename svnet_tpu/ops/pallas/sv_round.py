@@ -82,6 +82,20 @@ def _round_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     BIG = jnp.int32(1 << 30)
 
+    if not exact:
+        # fast-mode selection: pack a quantized distance (18 bits, relative
+        # to the tile's worst distance — comparable to the bf16 gather
+        # precision) with the reversed column index (13 bits) into one int32
+        # key. One max-reduce then yields a UNIQUE per-row winner (the index
+        # bits break ties toward the lowest column, like XLA top_k), so each
+        # rank needs 3 (T, N) passes instead of 5.
+        worst = jnp.min(neg)  # most negative distance in the tile
+        scale = jnp.float32(-(1 << 18)) / jnp.minimum(worst, -1e-12)
+        q = jnp.floor(neg * scale).astype(jnp.int32)  # in [-(2^18), 0]
+        q = jnp.maximum(q, jnp.int32(-(1 << 18) + 1))  # keep keys > sentinel
+        pkey = q * 8192 + (8191 - cols)  # needs N <= 8192
+        INT_MIN = jnp.int32(-(2**31) + 1)
+
     wz = wz_ref[:]
     w1 = w1_ref[:] if not binary else w1_ref[:].astype(jnp.bfloat16)
     w2 = w2_ref[:]
@@ -94,12 +108,17 @@ def _round_kernel(
     se_sum = jnp.zeros((1, 2 * S), jnp.float32) if S > 0 else None
 
     for j in range(k):
-        # exact first-occurrence one-hot of the current nearest neighbour
-        m = jnp.max(neg, axis=1, keepdims=True)
-        cand = jnp.where(neg >= m, cols, BIG)
-        amin = jnp.min(cand, axis=1, keepdims=True)
-        mask = cols == amin  # (T, N) exactly one True per row
-        neg = jnp.where(mask, -jnp.inf, neg)
+        if exact:
+            # exact first-occurrence one-hot of the current nearest neighbour
+            m = jnp.max(neg, axis=1, keepdims=True)
+            cand = jnp.where(neg >= m, cols, BIG)
+            amin = jnp.min(cand, axis=1, keepdims=True)
+            mask = cols == amin  # (T, N) exactly one True per row
+            neg = jnp.where(mask, -jnp.inf, neg)
+        else:
+            m = jnp.max(pkey, axis=1, keepdims=True)
+            mask = pkey == m  # unique per row (index bits)
+            pkey = jnp.where(mask, INT_MIN, pkey)
 
         mask_b = mask.astype(jnp.bfloat16)
         nbr = jax.lax.dot_general(
@@ -379,6 +398,7 @@ def sv_round(
     """
     B, N, _ = src.shape
     assert N % T == 0
+    assert exact or N <= 8192, "fast-mode packed selection needs N <= 8192"
     const = lambda b, t: (0, 0)
     s_out, v_out, ssum = pl.pallas_call(
         functools.partial(
