@@ -238,6 +238,15 @@ def _round_first_kernel(
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     BIG = jnp.int32(1 << 30)
 
+    if not exact:
+        # packed-key selection (see _round_kernel): 3 passes per rank
+        worst = jnp.min(neg)
+        scale = jnp.float32(-(1 << 18)) / jnp.minimum(worst, -1e-12)
+        q = jnp.floor(neg * scale).astype(jnp.int32)
+        q = jnp.maximum(q, jnp.int32(-(1 << 18) + 1))
+        pkey = q * 8192 + (8191 - cols)
+        INT_MIN = jnp.int32(-(2**31) + 1)
+
     wz0, wz1 = wz0_ref[:], wz1_ref[:]
     w1 = w1_ref[:]
     w2 = w2_ref[:]
@@ -249,11 +258,16 @@ def _round_first_kernel(
     sva_sum = [jnp.zeros((1, 2), jnp.float32) for _ in range(3)]
 
     for j in range(k):
-        m = jnp.max(neg, axis=1, keepdims=True)
-        cand = jnp.where(neg >= m, cols, BIG)
-        amin = jnp.min(cand, axis=1, keepdims=True)
-        mask = cols == amin
-        neg = jnp.where(mask, -jnp.inf, neg)
+        if exact:
+            m = jnp.max(neg, axis=1, keepdims=True)
+            cand = jnp.where(neg >= m, cols, BIG)
+            amin = jnp.min(cand, axis=1, keepdims=True)
+            mask = cols == amin
+            neg = jnp.where(mask, -jnp.inf, neg)
+        else:
+            m = jnp.max(pkey, axis=1, keepdims=True)
+            mask = pkey == m
+            pkey = jnp.where(mask, INT_MIN, pkey)
 
         mask_b = mask.astype(jnp.bfloat16)
         nbr = jax.lax.dot_general(
