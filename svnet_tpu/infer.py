@@ -440,3 +440,149 @@ class SVDGCNNPsegEngine:
 
     def __call__(self, points: jax.Array, label: jax.Array) -> jax.Array:
         return self._jit_forward(points, label)
+
+
+class SVPointNetClsEngine:
+    """Fused eval engine for SV-PointNet classification.
+
+    ref sv_pointnet_cls.py:12-81. One fused first round (cross-product edge
+    features + conv_pos + pool over k via sv_round_first(cross=True)), then
+    every per-point SVBlock (conv1, the SV_STNkd trunk, conv2/conv3/
+    conv_fuse) through the sv_block_point kernel; the pooled token path
+    (STN fc1-3, final SVFuse, MLP head) stays in XLA.
+    """
+
+    def __init__(
+        self,
+        variables: dict,
+        num_classes: int = 40,
+        k: int = 20,
+        binary: bool = True,
+        tile: int = 256,
+        exact: bool = True,
+        interpret: bool | None = None,
+    ):
+        from svnet_tpu.ops.pallas.sv_block_point import (
+            fold_point_like_params,
+            sv_block_point,
+        )
+
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
+        self.p = variables["params"]
+        self.bs = variables["batch_stats"]
+        self.k = k
+        self.binary = binary
+        self.tile = tile
+        self.exact = exact
+        self.interpret = interpret
+        self._block = sv_block_point
+
+        enc = self.p["feat"]
+        enc_bs = self.bs["feat"]
+        self.enc = enc
+        self.enc_bs = enc_bs
+        self.folded_first = jax.tree.map(
+            jnp.asarray,
+            fold_first_params(
+                enc["init_scalar"], enc["conv_pos"], enc_bs["conv_pos"], n_ch=3
+            ),
+        )
+        # per-point blocks: name -> (S_in, V_in, S_out, V_out, param tree)
+        self.blocks = {}
+        specs = {
+            "conv1": (32, 10, 32, 10),
+            "fstn/conv1": (32, 10, 32, 10),
+            "fstn/conv2": (32, 10, 64, 21),
+            "fstn/conv3": (64, 21, 512, 170),
+            "conv2": (64, 20, 64, 21),
+            "conv3": (64, 21, 512, 170),
+            "conv_fuse": (1024, 340, 512, 170),
+        }
+        for name, (S, V, So, Vo) in specs.items():
+            node_p, node_bs = enc, enc_bs
+            for seg in name.split("/"):
+                node_p = node_p[seg]
+                node_bs = node_bs[seg]
+            self.blocks[name] = (
+                (S, V, So, Vo),
+                jax.tree.map(
+                    jnp.asarray,
+                    fold_point_like_params(node_p, node_bs, S, V, binary),
+                ),
+                node_p,
+            )
+        self._jit_forward = jax.jit(self._forward)
+
+    def _run_block(self, name, s, v):
+        """Per-point SVBlock via the Pallas kernel; gate computed host-side
+        from the materialized input scalars."""
+        (S, V, So, Vo), folded, node_p = self.blocks[name]
+        B, N = s.shape[0], s.shape[1]
+        g = jnp.mean(s, axis=1)
+        g = jax.nn.relu(g @ node_p["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ node_p["gate_fc2"]["kernel"])
+        src = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
+        so, vo = self._block(
+            src, g, folded, S=S, V=V, S_out=So, V_out=Vo,
+            T=min(self.tile, N), binary=self.binary, exact=self.exact,
+            interpret=self.interpret,
+        )
+        return so, vo.reshape(B, N, 3, Vo)
+
+    def _forward(self, points: jax.Array) -> jax.Array:
+        p, bs, k = self.p, self.bs, self.k
+        enc, enc_bs = self.enc, self.enc_bs
+        B, N = points.shape[0], points.shape[1]
+
+        s0, v0_flat, s_mean = sv_round_first(
+            points, self.folded_first,
+            S_out=32, V_out=10, k=k, T=_auto_round_tile(N, self.tile // 4),
+            exact=self.exact, cross=True, interpret=self.interpret,
+        )
+        g = jax.nn.relu(s_mean @ enc["conv_pos"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ enc["conv_pos"]["gate_fc2"]["kernel"])
+        v0 = v0_flat.reshape(B, N, 3, 10) * g[:, None, None, :]
+
+        s, v = self._run_block("conv1", s0, v0)
+
+        # SV_STNkd: three per-point blocks, pool over N, token path in XLA
+        ts, tv = self._run_block("fstn/conv1", s, v)
+        ts, tv = self._run_block("fstn/conv2", ts, tv)
+        ts, tv = self._run_block("fstn/conv3", ts, tv)
+        tok = ops.svpool((ts, tv), axis=1)  # (B, 512), (B, 3, 170)
+        fstn_p, fstn_bs = enc["fstn"], enc_bs["fstn"]
+        tok = _svblock_eval(
+            fstn_p["fc1"], fstn_bs["fc1"], tok[0][:, None], tok[1][:, None],
+            self.binary,
+        )
+        tok = _svblock_eval(fstn_p["fc2"], fstn_bs["fc2"], tok[0], tok[1], self.binary)
+        tok = _svblock_eval(fstn_p["fc3"], fstn_bs["fc3"], tok[0], tok[1], self.binary)
+        g_s = jnp.broadcast_to(tok[0], s.shape)
+        g_v = jnp.broadcast_to(tok[1], v.shape)
+        s = jnp.concatenate([s, g_s], axis=-1)
+        v = jnp.concatenate([v, g_v], axis=-1)
+
+        s, v = self._run_block("conv2", s, v)
+        s, v = self._run_block("conv3", s, v)
+
+        sm, vm = ops.svpool((s, v), axis=1, keepdims=True)
+        s = jnp.concatenate([s, jnp.broadcast_to(sm, s.shape)], axis=-1)
+        v = jnp.concatenate([v, jnp.broadcast_to(vm, v.shape)], axis=-1)
+        s, v = self._run_block("conv_fuse", s, v)
+
+        s, v = ops.svpool((s, v), axis=1)  # (B, 512), (B, 3, 170)
+        x = jnp.concatenate(
+            [s, _v2s_eval(enc["svfuse"]["v2s"], v, self.binary)], axis=-1
+        )
+
+        x = _linear_eval(p["fc1"], x, self.binary, self.binary)
+        x = _bn_eval(p["bn1"]["bn"], bs["bn1"]["bn"], x)
+        x = jax.nn.relu(x)
+        x = _linear_eval(p["fc2"], x, self.binary, self.binary)
+        x = _bn_eval(p["bn2"]["bn"], bs["bn2"]["bn"], x)
+        x = jax.nn.relu(x)
+        return _linear_eval(p["fc3"], x, False, False)
+
+    def __call__(self, points: jax.Array) -> jax.Array:
+        return self._jit_forward(points)

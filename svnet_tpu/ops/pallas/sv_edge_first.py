@@ -167,7 +167,7 @@ def sv_edge_first_block(
 
 
 def fold_first_params(
-    init_scalar: dict, conv1: dict, stats_conv1: dict
+    init_scalar: dict, conv1: dict, stats_conv1: dict, n_ch: int = 2
 ) -> Dict[str, jax.Array]:
     """Fold init_scalar + conv1 (always FP) params into kernel constants.
 
@@ -179,9 +179,11 @@ def fold_first_params(
     eps_bn = 1e-5
 
     def perm_half(offset):
-        return [offset + c * 3 + j for j in range(3) for c in range(2)]
+        return [offset + c * 3 + j for j in range(3) for c in range(n_ch)]
 
-    perm = jnp.asarray(perm_half(0) + perm_half(6), dtype=jnp.int32)
+    perm = jnp.asarray(
+        perm_half(0) + perm_half(3 * n_ch), dtype=jnp.int32
+    )
     w1 = conv1["linear1"]["kernel"][perm, :]
 
     bn1 = conv1["bn1"]["bn"]

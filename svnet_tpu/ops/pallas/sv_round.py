@@ -197,12 +197,17 @@ def _round_first_kernel(
     w2_ref, a2_ref, b2_ref,
     s_out_ref, v_out_ref, ssum_ref,
     *, S_out: int, V_out: int, k: int, T: int, N: int, exact: bool,
+    cross: bool = False,
 ):
     """First-layer (coords) variant: dual Vector2Scalar, FP block.
 
     Mirrors sv_edge_first.py's math with the rank-loop selection/gather of
     _round_kernel. Emits init_scalar partial sums (c-major) for the gate.
+    ``cross=True`` adds the cross(nbr, ctr) channel (SV-PointNet's
+    get_graph_feature_cross, ref sv_util.py:64-88): v_e has 3 channels per
+    component instead of 2.
     """
+    n_ch = 3 if cross else 2
     prec = jax.lax.Precision.HIGHEST if exact else None
     pts = pts_ref[0]  # (N, 3)
     t = pl.program_id(1)
@@ -255,7 +260,7 @@ def _round_first_kernel(
 
     s_acc = jnp.full((T, S_out), -jnp.inf, jnp.float32)
     v_acc = [jnp.zeros((T, V_out), jnp.float32) for _ in range(3)]
-    sva_sum = [jnp.zeros((1, 2), jnp.float32) for _ in range(3)]
+    sva_sum = [jnp.zeros((1, n_ch), jnp.float32) for _ in range(3)]
 
     for j in range(k):
         if exact:
@@ -281,12 +286,27 @@ def _round_first_kernel(
             )
         e = nbr - ctr_g
 
-        v_e = [
-            jnp.concatenate(
-                [e[:, i : i + 1], ctr_g[:, i : i + 1]], axis=1
-            )
-            for i in range(3)
-        ]  # (T, 2) x3
+        if cross:
+            nb = [nbr[:, i : i + 1] for i in range(3)]
+            cg = [ctr_g[:, i : i + 1] for i in range(3)]
+            cr = [
+                nb[1] * cg[2] - nb[2] * cg[1],
+                nb[2] * cg[0] - nb[0] * cg[2],
+                nb[0] * cg[1] - nb[1] * cg[0],
+            ]
+            v_e = [
+                jnp.concatenate(
+                    [e[:, i : i + 1], ctr_g[:, i : i + 1], cr[i]], axis=1
+                )
+                for i in range(3)
+            ]  # (T, 3) x3
+        else:
+            v_e = [
+                jnp.concatenate(
+                    [e[:, i : i + 1], ctr_g[:, i : i + 1]], axis=1
+                )
+                for i in range(3)
+            ]  # (T, 2) x3
 
         def pieces(wz):
             z = [
@@ -329,18 +349,20 @@ def _round_first_kernel(
         v_out_ref[0, :, i * V_out : (i + 1) * V_out] = v_acc[i] * inv_k
     # [c*3+j] ordering for the reference gate MLP
     ssum_ref[0, 0] = jnp.concatenate(
-        [sva_sum[j][:, c : c + 1] for c in range(2) for j in range(3)], axis=1
+        [sva_sum[j][:, c : c + 1] for c in range(n_ch) for j in range(3)],
+        axis=1,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("S_out", "V_out", "k", "T", "exact", "interpret")
+    jax.jit,
+    static_argnames=("S_out", "V_out", "k", "T", "exact", "cross", "interpret"),
 )
 def sv_round_first(
     points: jax.Array,  # (B, N, 3)
     folded: Dict[str, jax.Array],
     *, S_out: int, V_out: int, k: int, T: int = 256,
-    exact: bool = True, interpret: bool = False,
+    exact: bool = True, cross: bool = False, interpret: bool = False,
 ):
     """Fully-fused first round (kNN over coords + init_scalar + conv1 + pool).
 
@@ -349,33 +371,34 @@ def sv_round_first(
     """
     B, N, _ = points.shape
     assert N % T == 0
+    n_ch = 3 if cross else 2
     const = lambda b, t: (0, 0)
     s_out, v_out, ssum = pl.pallas_call(
         functools.partial(
             _round_first_kernel,
-            S_out=S_out, V_out=V_out, k=k, T=T, N=N, exact=exact,
+            S_out=S_out, V_out=V_out, k=k, T=T, N=N, exact=exact, cross=cross,
         ),
         grid=(B, N // T),
         in_specs=[
             pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, 3), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((12, S_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((6 * n_ch, S_out), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S_out), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, V_out), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, V_out), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, V_out), const, memory_space=pltpu.VMEM),
         ],
         out_specs=(
             pl.BlockSpec((1, T, S_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, T, 3 * V_out), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 1, 6), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 1, 3 * n_ch), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((B, N, S_out), jnp.float32),
             jax.ShapeDtypeStruct((B, N, 3 * V_out), jnp.float32),
-            jax.ShapeDtypeStruct((B, N // T, 1, 6), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 1, 3 * n_ch), jnp.float32),
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
