@@ -249,11 +249,7 @@ def run_cls(args) -> Optional[float]:
     rng = jax.random.PRNGKey(args.seed + 123)
 
     if args.test is not None:
-        if (
-            getattr(args, "fused", False)
-            and args.model == "svnet"
-            and args.backbone == "dgcnn"
-        ):
+        if getattr(args, "fused", False) and args.model == "svnet":
             eval_step = _fused_cls_eval_step(args, state)
             log_string("evaluating with the fused Pallas engine")
         acc, avg_acc, loss = _eval_cls(
@@ -388,9 +384,12 @@ def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
 
 def _fused_cls_eval_step(args, state):
     """--test evaluation through the fused Pallas engine (--fused)."""
-    from svnet_tpu.infer import SVDGCNNClsEngine
+    from svnet_tpu.infer import SVDGCNNClsEngine, SVPointNetClsEngine
 
-    eng = SVDGCNNClsEngine(
+    engine_cls = (
+        SVDGCNNClsEngine if args.backbone == "dgcnn" else SVPointNetClsEngine
+    )
+    eng = engine_cls(
         {"params": state.params, "batch_stats": state.batch_stats},
         k=args.k, binary=args.binary,
     )

@@ -6,6 +6,7 @@ import numpy as np
 import pytest
 
 from svnet_tpu.cli.main_cls_dgcnn import main as cls_main
+from svnet_tpu.cli.main_cls_pointnet import main as pn_main
 
 
 @pytest.fixture(scope="module")
@@ -33,4 +34,19 @@ def test_fused_test_eval_matches(synth_data, tmp_path):
     ckpt = str(save / "save_models" / "model_best.ckpt")
     acc_plain = cls_main(common + ["--test", ckpt])
     acc_fused = cls_main(common + ["--test", ckpt, "--fused"])
+    assert acc_plain == pytest.approx(acc_fused, abs=1e-9)
+
+
+def test_fused_test_eval_pointnet_matches(synth_data, tmp_path):
+    save = tmp_path / "rp"
+    common = [
+        "--model", "svnet", "--binary",
+        "--num-points", "64", "--batch-size", "8", "--k", "8",
+        "--rot", "aligned", "--rot-test", "aligned",
+        "--data-dir", str(synth_data), "--save-dir", str(save),
+    ]
+    pn_main(common + ["--epochs", "1"])
+    ckpt = str(save / "save_models" / "model_best.ckpt")
+    acc_plain = pn_main(common + ["--test", ckpt])
+    acc_fused = pn_main(common + ["--test", ckpt, "--fused"])
     assert acc_plain == pytest.approx(acc_fused, abs=1e-9)
