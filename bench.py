@@ -1,6 +1,6 @@
 """Headline benchmark: SVNet-DGCNN binary inference throughput (clouds/s/chip).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 vs_baseline is measured against the 50k clouds/s/chip North Star from
 BASELINE.md (the reference publishes no throughput numbers of its own).
 
@@ -10,8 +10,12 @@ ONE jitted program and fetch a single scalar, subtracting the fixed
 roundtrip. This measures on-device step time, which is what batch-serving
 throughput is made of.
 
+Honesty guard (VERDICT r1 weak #7): if the requested engine fails and the
+bench falls back, the JSON carries ``engine_fallback: true`` and names the
+engine actually measured — cross-round comparisons can detect/skip it.
+
 Usage: python bench.py [--batch B] [--num-points N] [--k K] [--iters I]
-                       [--engine fused|flax] [--fast]
+                       [--engine fused|flax] [--mode exact|fast|approx]
 """
 
 import argparse
@@ -35,10 +39,25 @@ def main():
     ap.add_argument("--repeats", type=int, default=4)
     ap.add_argument("--engine", choices=["fused", "flax"], default="fused")
     ap.add_argument(
+        "--mode", choices=["exact", "fast", "approx"], default="exact",
+        help="exact: bit-exact f32 gather + f32-exact neighbour ordering; "
+             "fast: 16-bit fixed-point gather + 18-bit quantized selection; "
+             "approx: fast + folded-bin selection (recall ~0.96, PERF.md)",
+    )
+    ap.add_argument(
         "--fast", action="store_true",
-        help="bf16-gather fast mode (exact f32 gather is the default)",
+        help="deprecated alias for --mode fast",
+    )
+    ap.add_argument(
+        "--rounds-impl", choices=["round2", "round", "edge"], default="round2",
+    )
+    ap.add_argument(
+        "--strict", action="store_true",
+        help="fail instead of falling back to the flax engine",
     )
     args = ap.parse_args()
+    if args.fast and args.mode == "exact":
+        args.mode = "fast"
 
     from svnet_tpu import models
     from svnet_tpu.infer import SVDGCNNClsEngine
@@ -52,7 +71,8 @@ def main():
     def make_timed(engine_kind):
         if engine_kind == "fused":
             eng = SVDGCNNClsEngine(
-                variables, k=args.k, binary=True, exact=not args.fast
+                variables, k=args.k, binary=True, mode=args.mode,
+                rounds_impl=args.rounds_impl,
             )
             forward = eng._forward
         else:
@@ -70,10 +90,13 @@ def main():
 
         return timed
 
-    # the remote-TPU tunnel occasionally drops a dispatch; retry, and fall
-    # back to the plain XLA engine rather than report nothing
+    # the remote-TPU tunnel occasionally drops a dispatch; retry, and (unless
+    # --strict) fall back to the plain XLA engine rather than report nothing
     times = None
-    for engine_kind in (args.engine, "flax"):
+    measured_engine = None
+    fallbacks = [args.engine] if args.strict else [args.engine, "flax"]
+    last_err = None
+    for engine_kind in fallbacks:
         for attempt in range(3):
             try:
                 timed = make_timed(engine_kind)
@@ -86,12 +109,13 @@ def main():
                 break
             except Exception as e:  # pragma: no cover - transient tunnel
                 print(f"# bench attempt failed ({engine_kind}): {e}")
+                last_err = e
                 times = None
         if times is not None:
-            args.engine = engine_kind
+            measured_engine = engine_kind
             break
     if times is None:
-        raise RuntimeError("all bench attempts failed")
+        raise RuntimeError(f"all bench attempts failed: {last_err}")
     iters = args.iters
 
     total_ms = statistics.median(times) * 1e3
@@ -104,9 +128,13 @@ def main():
                 "value": round(clouds_per_s, 1),
                 "unit": (
                     f"clouds/s/chip @ {args.num_points} pts "
-                    f"(B={args.batch}, k={args.k}, engine={args.engine})"
+                    f"(B={args.batch}, k={args.k}, engine={measured_engine}, "
+                    f"mode={args.mode})"
                 ),
                 "vs_baseline": round(clouds_per_s / NORTH_STAR, 4),
+                "engine": measured_engine,
+                "mode": args.mode,
+                "engine_fallback": measured_engine != args.engine,
             }
         )
     )

@@ -1,14 +1,23 @@
-"""Minimal batched loader: shuffling, drop_last, numpy collation.
+"""Batched loader with background prefetch and a worker pool.
 
-Replaces torch DataLoader(num_workers=8) (ref main_cls_dgcnn.py:119-120).
-Datasets here are in-RAM numpy arrays with cheap per-item augmentation, so
-worker processes buy nothing; the expensive augmentation (rotation) is
-batched on device inside the jitted step. The loader yields numpy batches;
-jit's donate/commit machinery overlaps H2D transfer with compute.
+Replaces torch DataLoader(num_workers=8) (ref main_cls_dgcnn.py:119-120)
+the host-Python way that actually feeds a TPU: a producer thread assembles
+batches (item fetch + augmentation fanned out over a thread pool — the
+per-item work is numpy, which releases the GIL) and a bounded queue
+double-buffers them ahead of the training step, so host batch prep overlaps
+device compute. The expensive augmentation (rotation) stays batched
+on-device inside the jitted step.
+
+``num_workers=0`` degrades to the synchronous single-thread path (useful in
+tests and for determinism debugging). Iteration order and RNG use are
+identical in both paths, so the two are batch-for-batch deterministic.
 """
 
 from __future__ import annotations
 
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -23,15 +32,21 @@ class Loader:
         drop_last: bool = False,
         seed: int = 0,
         pad_last: bool = False,
+        num_workers: int = 0,
+        prefetch: int = 3,
     ):
         """``pad_last``: pad the final short batch up to batch_size by
         repeating items (keeps a single static XLA program); the pad count is
-        reported so metrics can mask it out."""
+        reported so metrics can mask it out.
+        ``num_workers``: >0 enables the background producer thread plus an
+        item-fetch thread pool of that size. ``prefetch``: queue depth."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.drop_last = drop_last
         self.pad_last = pad_last
+        self.num_workers = num_workers
+        self.prefetch = max(1, prefetch)
         self.rng = np.random.default_rng(seed)
 
     def __len__(self):
@@ -40,7 +55,7 @@ class Loader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[dict]:
+    def _index_batches(self):
         n = len(self.dataset)
         order = self.rng.permutation(n) if self.shuffle else np.arange(n)
         bs = self.batch_size
@@ -56,18 +71,65 @@ class Loader:
                     pad = 0
             else:
                 pad = 0
-            items = [self.dataset[int(i)] for i in idx]
-            batch = {
-                "points": np.stack([it[0] for it in items]).astype("float32"),
-                "target": np.asarray([it[1] for it in items], dtype=np.int64),
-                "pad": pad if self.pad_last else 0,
-                "size": len(items) - (pad if self.pad_last else 0),
-            }
-            if len(items[0]) == 3:  # partseg: (points, label, seg)
-                batch["label"] = _one_hot16(batch["target"])
-                batch["seg"] = np.stack([it[2] for it in items]).astype(np.int64)
-                batch["target"], batch["category"] = batch["seg"], batch["target"]
-            yield batch
+            yield idx, pad
+
+    def _collate(self, items, pad):
+        batch = {
+            "points": np.stack([it[0] for it in items]).astype("float32"),
+            "target": np.asarray([it[1] for it in items], dtype=np.int64),
+            "pad": pad if self.pad_last else 0,
+            "size": len(items) - (pad if self.pad_last else 0),
+        }
+        if len(items[0]) == 3:  # partseg: (points, label, seg)
+            batch["label"] = _one_hot16(batch["target"])
+            batch["seg"] = np.stack([it[2] for it in items]).astype(np.int64)
+            batch["target"], batch["category"] = batch["seg"], batch["target"]
+        return batch
+
+    def __iter__(self) -> Iterator[dict]:
+        if self.num_workers <= 0:
+            for idx, pad in self._index_batches():
+                items = [self.dataset[int(i)] for i in idx]
+                yield self._collate(items, pad)
+            return
+        yield from self._iter_prefetch()
+
+    def _iter_prefetch(self) -> Iterator[dict]:
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+        _SENTINEL = object()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idx, pad in self._index_batches():
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self.dataset.__getitem__,
+                                              [int(i) for i in idx]))
+                        q.put(self._collate(items, pad))
+                q.put(_SENTINEL)
+            except BaseException as e:  # surface worker errors to the consumer
+                q.put(e)
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                got = q.get()
+                if got is _SENTINEL:
+                    return
+                if isinstance(got, BaseException):
+                    raise got
+                yield got
+        finally:
+            stop.set()
+            # drain so the producer's q.put never blocks forever
+            while t.is_alive():
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    t.join(timeout=0.1)
 
 
 def _one_hot16(labels: np.ndarray) -> np.ndarray:

@@ -41,6 +41,7 @@ from svnet_tpu.ops.pallas.sv_point import (
     sv_point_block,
 )
 from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
+from svnet_tpu.ops.pallas.sv_round2 import sv_round2, sv_round2_first
 
 EPS = 1e-6
 BN_EPS = 1e-5
@@ -128,11 +129,17 @@ class SVDGCNNClsEngine:
         tile: int = 64,
         knn_impl: str = "pallas",
         exact: bool = True,
-        rounds_impl: str = "round",
+        rounds_impl: str = "round2",
         interpret: bool | None = None,
+        mode: str | None = None,
     ):
-        """``rounds_impl``: 'round' = fully-fused kNN+block kernel per DGCNN
-        round (sv_round); 'edge' = separate kNN + idx-consuming sv_edge.
+        """``rounds_impl``: 'round2' = v2 fused kNN+block kernel (int8-plane
+        gather, fused selection); 'round' = round-1 kernel; 'edge' =
+        separate kNN + idx-consuming sv_edge.
+        ``mode``: 'exact' (bit-exact f32 gather, f32-exact neighbour
+        ordering), 'fast' (16-bit fixed-point gather, 18-bit quantized
+        selection), 'approx' (fast + folded-bin selection, recall ~0.96 at
+        N=1024/k=20 — see PERF.md). Defaults from the legacy ``exact`` flag.
         ``interpret=None`` auto-enables Pallas interpret mode off-TPU."""
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
@@ -142,7 +149,8 @@ class SVDGCNNClsEngine:
         self.binary = binary
         self.tile = tile
         self.knn_impl = knn_impl
-        self.exact = exact
+        self.mode = mode if mode is not None else ("exact" if exact else "fast")
+        self.exact = self.mode == "exact"
         self.rounds_impl = rounds_impl
         self.interpret = interpret
         # fold fused-round weights once
@@ -194,7 +202,14 @@ class SVDGCNNClsEngine:
 
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
-        if self.rounds_impl == "round":
+        if self.rounds_impl == "round2":
+            s1, v1_flat, s_mean = sv_round2_first(
+                points, self.folded_first,
+                S_out=64 // 2, V_out=64 // 6, k=k,
+                T=_auto_round_tile(N, self.tile),
+                mode=self.mode, interpret=self.interpret,
+            )
+        elif self.rounds_impl == "round":
             s1, v1_flat, s_mean = sv_round_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
@@ -221,16 +236,22 @@ class SVDGCNNClsEngine:
             joint = jnp.concatenate(
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
-            if self.rounds_impl == "round":
-                # sv_round holds no (k*T, C) tensors, so a much larger tile
-                # fits VMEM and amortizes the per-program weight loads
+            if self.rounds_impl in ("round", "round2"):
                 t_round = _auto_round_tile(N, self.tile)
-                so, vo, se_mean = sv_round(
-                    joint, self.folded[name],
-                    S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
-                    binary=self.binary, exact=self.exact,
-                    interpret=self.interpret,
-                )
+                if self.rounds_impl == "round2":
+                    so, vo, se_mean = sv_round2(
+                        joint, self.folded[name],
+                        S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
+                        binary=self.binary, mode=self.mode,
+                        interpret=self.interpret,
+                    )
+                else:
+                    so, vo, se_mean = sv_round(
+                        joint, self.folded[name],
+                        S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
+                        binary=self.binary, exact=self.exact,
+                        interpret=self.interpret,
+                    )
                 g = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
                 g = jax.nn.sigmoid(g @ p[name]["gate_fc2"]["kernel"])
                 vo = vo * jnp.tile(g, (1, 3))[:, None, :]
@@ -304,6 +325,7 @@ class SVDGCNNPsegEngine:
         tile: int = 64,
         exact: bool = True,
         interpret: bool | None = None,
+        mode: str | None = None,
     ):
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
@@ -312,7 +334,8 @@ class SVDGCNNPsegEngine:
         self.k = k
         self.binary = binary
         self.tile = tile
-        self.exact = exact
+        self.mode = mode if mode is not None else ("exact" if exact else "fast")
+        self.exact = self.mode == "exact"
         self.interpret = interpret
 
         self.dims = {
@@ -368,11 +391,11 @@ class SVDGCNNPsegEngine:
         binary = self.binary
 
         s1_dim, v1_dim = self.dims["conv1"]
-        s1, v1_flat, s_mean = sv_round_first(
+        s1, v1_flat, s_mean = sv_round2_first(
             points, self.folded_first,
             S_out=s1_dim, V_out=v1_dim, k=k,
             T=_auto_round_tile(N, self.tile),
-            exact=self.exact, interpret=self.interpret,
+            mode=self.mode, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
@@ -382,11 +405,11 @@ class SVDGCNNPsegEngine:
         for name, (S, V, S_out, V_out) in self.rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
-            so, vo, se_mean = sv_round(
+            so, vo, se_mean = sv_round2(
                 joint, self.folded[name],
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k,
                 T=_auto_round_tile(N, self.tile),
-                binary=binary, exact=self.exact, interpret=self.interpret,
+                binary=binary, mode=self.mode, interpret=self.interpret,
             )
             gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
             gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
@@ -535,10 +558,11 @@ class SVPointNetClsEngine:
         enc, enc_bs = self.enc, self.enc_bs
         B, N = points.shape[0], points.shape[1]
 
-        s0, v0_flat, s_mean = sv_round_first(
+        s0, v0_flat, s_mean = sv_round2_first(
             points, self.folded_first,
             S_out=32, V_out=10, k=k, T=_auto_round_tile(N, self.tile // 4),
-            exact=self.exact, cross=True, interpret=self.interpret,
+            mode="exact" if self.exact else "fast", cross=True,
+            interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ enc["conv_pos"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ enc["conv_pos"]["gate_fc2"]["kernel"])

@@ -175,7 +175,8 @@ def run_cls(args) -> Optional[float]:
         partition="test", subset=args.subset, seed=args.seed + 1,
     )
     train_loader = Loader(
-        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+        train_set, args.batch_size, shuffle=True, drop_last=True,
+        seed=args.seed, num_workers=getattr(args, "num_workers", 0),
     )
     test_loader = Loader(
         test_set, args.batch_size, shuffle=False, pad_last=True
@@ -469,7 +470,8 @@ def run_partseg(args) -> Optional[float]:
         partition="test", class_choice=args.class_choice, seed=args.seed + 1,
     )
     train_loader = Loader(
-        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+        train_set, args.batch_size, shuffle=True, drop_last=True,
+        seed=args.seed, num_workers=getattr(args, "num_workers", 0),
     )
     test_loader = Loader(test_set, args.batch_size, shuffle=False, pad_last=True)
     log_string(f"trainloader: {len(train_set)}, test_loader: {len(test_set)}")
@@ -675,7 +677,8 @@ def run_semseg(args) -> Optional[float]:
         partition="test", test_area=args.test_area, seed=args.seed + 1,
     )
     train_loader = Loader(
-        train_set, args.batch_size, shuffle=True, drop_last=True, seed=args.seed
+        train_set, args.batch_size, shuffle=True, drop_last=True,
+        seed=args.seed, num_workers=getattr(args, "num_workers", 0),
     )
     test_loader = Loader(test_set, args.batch_size, shuffle=False, pad_last=True)
     log_string(f"train rooms: {len(train_set)}, test rooms: {len(test_set)}")
