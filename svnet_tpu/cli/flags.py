@@ -70,6 +70,12 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
     p.add_argument("--debug-nans", action="store_true",
                    help="enable jax_debug_nans (the sanitizer story for"
                         " jitted TPU code, SURVEY.md §5.2)")
+    p.add_argument(
+        "--engine-mode", choices=["exact", "fast", "approx"], default="exact",
+        help="fused-engine gather/selection mode (PERF.md): exact = "
+             "bit-exact f32; fast = 16-bit fixed-point gather + quantized "
+             "selection; approx = fast + folded-bin selection (recall ~0.96)",
+    )
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas inference engine for --test"
                         " evaluation (svnet+dgcnn only)")

@@ -31,6 +31,16 @@ _PRECISIONS = {
 knn_precision: str = "highest"
 binary_matmul: str = "int8"
 knn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
+edge_gather: str = "auto"  # 'auto' | 'xla' | 'pallas'
+
+
+def set_edge_gather(name: str) -> None:
+    """Training-path neighbour gather: 'pallas' = MXU one-hot custom-VJP op
+    (ops/pallas/edge_gather.py, ~5x XLA's gather/scatter loops on TPU);
+    'auto' picks it on TPU when shapes allow."""
+    global edge_gather
+    assert name in ("auto", "xla", "pallas"), name
+    edge_gather = name
 
 
 def set_knn_impl(name: str) -> None:

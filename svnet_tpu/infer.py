@@ -484,6 +484,7 @@ class SVPointNetClsEngine:
         tile: int = 256,
         exact: bool = True,
         interpret: bool | None = None,
+        mode: str | None = None,
     ):
         from svnet_tpu.ops.pallas.sv_block_point import (
             fold_point_like_params,
@@ -497,7 +498,8 @@ class SVPointNetClsEngine:
         self.k = k
         self.binary = binary
         self.tile = tile
-        self.exact = exact
+        self.mode = mode if mode is not None else ("exact" if exact else "fast")
+        self.exact = self.mode == "exact"
         self.interpret = interpret
         self._block = sv_block_point
 
@@ -561,8 +563,7 @@ class SVPointNetClsEngine:
         s0, v0_flat, s_mean = sv_round2_first(
             points, self.folded_first,
             S_out=32, V_out=10, k=k, T=_auto_round_tile(N, self.tile // 4),
-            mode="exact" if self.exact else "fast", cross=True,
-            interpret=self.interpret,
+            mode=self.mode, cross=True, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ enc["conv_pos"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ enc["conv_pos"]["gate_fc2"]["kernel"])

@@ -14,8 +14,10 @@ parity):
     straight-through sign with a ±1.2 clip window (gradient of clamp);
     weights the same without beta. ref sv_layers.py:29-53.
   * eval: plain ``sign`` (0 -> 0, same as torch.sign). This is the pure
-    ±1 × ±1 matmul the Pallas XNOR-popcount kernel accelerates
-    (svnet_tpu/ops/pallas/binary_matmul.py).
+    ±1 × ±1 matmul; on TPU it lowers to the int8 MXU path
+    (_binary_matmul_eval below). A bit-packed XNOR-popcount kernel exists
+    at svnet_tpu/ops/pallas/binary_matmul.py as the measured-and-rejected
+    alternative (~8x slower on the VPU; numbers in PERF.md).
   * output scaled by a learned per-output-channel ``scale`` initialized
     1/sqrt(in_features).
 """

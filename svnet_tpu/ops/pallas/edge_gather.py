@@ -1,0 +1,134 @@
+"""Differentiable row gather for training — Pallas forward AND backward.
+
+The training path gathers k neighbour rows per point (ref
+dgcnn_util.py:24-49 / sv_util.py:90-116 do it with a flat-index gather).
+XLA lowers both that gather and its scatter-add transpose to ~30 GB/s
+loops on TPU (measured round 2, probe4: 175 us/cloud for one round's
+gather — slower than the whole fused eval round). This op routes both
+directions through the MXU instead:
+
+  forward:  per (batch, point-tile) program, k one-hot int8 matmuls
+            against byte planes of src reconstruct the gathered rows
+            bit-exactly (same trick as sv_round2);
+  backward: dsrc[n] = sum over edges (t, j) with idx[t, j] == n of
+            g[t, j] — a transposed one-hot bf16 matmul per source tile
+            (scatter-add as MXU work, ROADMAP r1 item 1's design).
+
+Selection indices carry no gradient (piecewise-constant), matching
+jax.lax.stop_gradient semantics of the XLA path.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svnet_tpu.ops.pallas.sv_round2 import (
+    _decode_exact,
+    _plane_stride,
+    pack_planes_exact,
+)
+
+
+def _fwd_kernel(idx_ref, planes_ref, out_ref, *, k: int, T: int, N: int, C: int):
+    planes = planes_ref[0]  # (N, 4*stride) int8
+    idxl = idx_ref[0]  # (T, k) int32
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    for j in range(k):
+        mask = (cols == idxl[:, j : j + 1]).astype(jnp.int8)  # (T, N)
+        g = jax.lax.dot_general(
+            mask, planes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        out_ref[0, :, j, :] = _decode_exact(g, C)
+
+
+def _bwd_kernel(idx_ref, g_ref, out_ref, *, k: int, T: int, N: int, C: int):
+    """dsrc tile (T, C) = sum over all (n, j) edges pointing into this tile.
+
+    idx comes in flattened (1, N*k) for the whole batch row; g as (N*k, C).
+    oh[r, m] = (idx[r] == n0 + m) builds the transposed one-hot on the fly.
+    """
+    t = pl.program_id(1)
+    n0 = t * T
+    idxl = idx_ref[0]  # (1, N*k) int32
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N * k, T), 1) + n0  # target col
+    oh = (idxl.reshape(N * k, 1) == rows).astype(jnp.bfloat16)  # (N*k, T)
+    g = g_ref[0].astype(jnp.bfloat16)  # (N*k, C)
+    out_ref[0] = jax.lax.dot_general(
+        oh, g, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (T, C)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def edge_gather(src: jax.Array, idx: jax.Array, interpret: bool = False):
+    """Gather rows: (B, N, C) x (B, N, k) int32 -> (B, N, k, C), bit-exact.
+
+    Equivalent to jnp.take_along_axis(src, idx.reshape(B, N*k, 1), 1)
+    reshaped — but MXU-lowered in both directions (see module docstring).
+    """
+    return _edge_gather_fwd_impl(src, idx, interpret)
+
+
+def _edge_gather_fwd_impl(src, idx, interpret):
+    B, N, C = src.shape
+    k = idx.shape[-1]
+    T = min(128, N)
+    assert N % T == 0
+    planes = pack_planes_exact(src)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, k=k, T=T, N=N, C=C),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, T, k), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, N, 4 * _plane_stride(C)),
+                lambda b, t: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, k, C), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, k, C), jnp.float32),
+        interpret=interpret,
+    )(idx, planes)
+
+
+def _edge_gather_fwd(src, idx, interpret):
+    # fwd takes the primal's full signature; only bwd gets nondiff_argnums
+    # prepended
+    return _edge_gather_fwd_impl(src, idx, interpret), (idx, src.shape)
+
+
+def _edge_gather_bwd(interpret, res, g):
+    idx, (B, N, C) = res
+    k = idx.shape[-1]
+    T = min(128, N)
+    idx_flat = idx.reshape(B, 1, N * k)
+    g_flat = g.reshape(B, N * k, C)
+    dsrc = pl.pallas_call(
+        functools.partial(_bwd_kernel, k=k, T=T, N=N, C=C),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, 1, N * k), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N * k, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, T, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
+        interpret=interpret,
+    )(idx_flat, g_flat)
+    # integer idx takes a float0 cotangent
+    return dsrc, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+# custom_vjp with nondiff_argnums passes them FIRST to fwd/bwd
+edge_gather.defvjp(_edge_gather_fwd, _edge_gather_bwd)

@@ -22,12 +22,17 @@ Redesign of sv_round.py after round-1 profiling showed two walls:
          ~2^-15 relative error, strictly tighter than round-1's bf16 gather
          (2^-8), at another 2x less MXU time.
 
-  The per-edge SVBlock math is batched: gathered rows land in a (k*T, C)
-  VMEM scratch and the block runs as a few large matmuls instead of 20x7
-  small ones. Everything else (edge features, Vector2Scalar, eval
-  binarization, folded BN affines, VectorBN, gate contract) matches
-  sv_edge.py semantics exactly (reference: get_graph_feature_sv -> SVBlock
-  -> svpool, sv_dgcnn_cls.py:55-65, sv_util.py:90-132, sv_layers.py:151-196).
+The per-edge SVBlock math is batched over (k*T, .) rows after the gather
+loop, using whole-array elementwise ops only. Two "obvious" optimizations
+were A/B'd on-chip and REJECTED (kept here as a warning): an edge/centre
+split with (k, T, .) broadcast-adds loses ~2x to Mosaic relayout copies,
+and block-diagonal-combined Vector2Scalar/linear2 matmuls lose ~45% to the
+unaligned lane slicing they force on the VPU side.
+
+Semantics (edge features, Vector2Scalar, eval binarization, folded BN
+affines, VectorBN, gate contract) match sv_edge.py exactly (reference:
+get_graph_feature_sv -> SVBlock -> svpool, sv_dgcnn_cls.py:55-65,
+sv_util.py:90-132, sv_layers.py:151-196).
 """
 
 from __future__ import annotations
@@ -46,7 +51,7 @@ EPS = 1e-6
 MODES = ("exact", "fast", "approx")
 _INT_MIN = np.int32(-(2**31) + 1)
 _BIG = np.int32(1 << 30)
-_Q_BITS = 18  # fast-mode distance quantization (as round 1)
+_Q_BITS = 18  # fast-mode distance quantization at N <= 8192 (as round 1)
 _APPROX_L = 256  # approx-mode fold width (recall ledger in PERF.md)
 
 
@@ -55,25 +60,37 @@ _APPROX_L = 256  # approx-mode fold width (recall ledger in PERF.md)
 # ---------------------------------------------------------------------------
 
 
+def _plane_stride(C: int) -> int:
+    """Planes are stored at a 64-lane-aligned stride: in-kernel lane slices
+    at unaligned offsets compile to slow cross-lane shuffles (and tickle the
+    Mosaic shift-after-slice bug, see _decode_exact). The padding is free in
+    the gather matmul, whose width rounds up to 128 lanes anyway."""
+    return max(64, (C + 63) // 64 * 64)
+
+
 def pack_planes_exact(x: jax.Array) -> jax.Array:
-    """f32 (..., C) -> int8 (..., 4C): byte planes of the f32 bit pattern.
+    """f32 (..., C) -> int8 (..., 4*stride): byte planes of the f32 bits.
 
     Plane p holds byte (3-p) (MSB first), stored as byte-128 so it fits
     int8. A one-hot int8 matmul against these planes reconstructs the f32
     row BIT-EXACTLY (one-hot row sum = 1, so the -128 offset is a constant
-    +128 after the matmul).
+    +128 after the matmul). Each plane sits at a 64-aligned lane offset.
     """
+    C = x.shape[-1]
+    P = _plane_stride(C)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, P - C)]
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
     planes = []
     for p in range(4):
         byte = jax.lax.shift_right_logical(bits, np.uint32(8 * (3 - p)))
         byte = byte & np.uint32(0xFF)
-        planes.append((byte.astype(jnp.int32) - 128).astype(jnp.int8))
+        b8 = (byte.astype(jnp.int32) - 128).astype(jnp.int8)
+        planes.append(jnp.pad(b8, pad, constant_values=np.int8(-128)))
     return jnp.concatenate(planes, axis=-1)
 
 
 def pack_planes_fast(x: jax.Array):
-    """f32 (..., C) -> (int8 (..., 2C) planes, f32 (1, C) inv-scales).
+    """f32 (..., C) -> (int8 (..., 2*stride) planes, f32 (1, C) inv-scales).
 
     Per-channel symmetric int16 fixed-point: q = round(x * 32704 / max|x_c|)
     split into high/low bytes. Relative error ~2^-15 of the channel max —
@@ -85,33 +102,51 @@ def pack_planes_fast(x: jax.Array):
     q = jnp.round(x * scale).astype(jnp.int32)  # [-32704, 32704]
     hi = jax.lax.shift_right_arithmetic(q, np.int32(8))  # [-128, 127]
     lo = q - jax.lax.shift_left(hi, np.int32(8))  # [0, 255]
+    C = x.shape[-1]
+    P = _plane_stride(C)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, P - C)]
     planes = jnp.concatenate(
-        [hi.astype(jnp.int8), (lo - 128).astype(jnp.int8)], axis=-1
+        [
+            jnp.pad(hi.astype(jnp.int8), pad),
+            jnp.pad((lo - 128).astype(jnp.int8), pad, constant_values=np.int8(-128)),
+        ],
+        axis=-1,
     )
     inv = (1.0 / scale).reshape(1, -1)
     return planes, inv
 
 
 def _decode_exact(g: jax.Array, C: int) -> jax.Array:
-    """int32 (R, 4C) gathered bit-planes (-128 offset) -> f32 (R, C).
+    """int32 (R, 4*stride) gathered bit-planes (-128 offset) -> f32 (R, C).
 
     Byte shifts are int32 MULTIPLIES (wrapping, same bits as <<): this
     Mosaic version miscompiles shift_left when fused after a lane slice
     (verified on-chip 2026-08-16; multiply is exact).
     """
+    P = _plane_stride(C)
     g = g + 128
-    bits = g[:, :C] * np.int32(1 << 24)
-    bits = bits + g[:, C : 2 * C] * np.int32(1 << 16)
-    bits = bits + g[:, 2 * C : 3 * C] * np.int32(1 << 8)
-    bits = bits + g[:, 3 * C :]
+    bits = g[:, 0:C] * np.int32(1 << 24)
+    bits = bits + g[:, P : P + C] * np.int32(1 << 16)
+    bits = bits + g[:, 2 * P : 2 * P + C] * np.int32(1 << 8)
+    bits = bits + g[:, 3 * P : 3 * P + C]
     return jax.lax.bitcast_convert_type(bits, jnp.float32)
 
 
 def _decode_fast(g: jax.Array, inv: jax.Array, C: int) -> jax.Array:
-    """int32 (R, 2C) gathered fixed-point planes -> f32 (R, C)."""
-    hi = g[:, :C]
-    lo = g[:, C:] + 128
+    """int32 (R, 2*stride) gathered fixed-point planes -> f32 (R, C)."""
+    P = _plane_stride(C)
+    hi = g[:, 0:C]
+    lo = g[:, P : P + C] + 128
     q = hi * np.int32(1 << 8) + lo  # multiply, not shl (see _decode_exact)
+    return q.astype(jnp.float32) * inv
+
+
+def _decode_ctr_fast(planes_tile: jax.Array, inv: jax.Array, C: int) -> jax.Array:
+    """Centre rows through the same fixed-point path (self-edges cancel)."""
+    P = _plane_stride(C)
+    q = planes_tile[:, 0:C].astype(jnp.int32) * np.int32(1 << 8) + (
+        planes_tile[:, P : P + C].astype(jnp.int32) + 128
+    )
     return q.astype(jnp.float32) * inv
 
 
@@ -122,10 +157,10 @@ def _decode_fast(g: jax.Array, inv: jax.Array, C: int) -> jax.Array:
 
 def _neg_dist(ctr: jax.Array, src: jax.Array, N: int, exact: bool) -> jax.Array:
     """(T, N) negative squared distances; HIGHEST precision in exact mode so
-    near-tie ordering matches the f32 XLA/flax path (SURVEY §7 hard part 2)."""
-    # f32 operands in both modes (same as round-1 sv_round): default
-    # precision lowers to single-pass bf16 on the MXU, HIGHEST to the
-    # 3x3-pass f32-faithful form — and interpret-mode (CPU) matches v1.
+    near-tie ordering matches the f32 XLA/flax path (SURVEY §7 hard part 2).
+    f32 operands in both modes (as round-1 sv_round): default precision
+    lowers to single-pass bf16 on the MXU; interpret-mode (CPU) matches v1.
+    """
     prec = jax.lax.Precision.HIGHEST if exact else None
     inner = jax.lax.dot_general(
         ctr, src, (((1,), (1,)), ((), ())),
@@ -145,18 +180,56 @@ def _sortable_ikey(neg: jax.Array) -> jax.Array:
     return jnp.where(bits < 0, bits ^ np.int32(0x7FFFFFFF), bits)
 
 
+def _idx_bits(N: int) -> int:
+    """Column-index bits in the packed key: 13 at N <= 8192 (round-1
+    contract), widening as N grows; the quantized-distance field shrinks to
+    31 - idx_bits (q is never positive, so the product stays in int32)."""
+    b = 13
+    while (1 << b) < N:
+        b += 1
+    return b
+
+
 def _packed_key(neg: jax.Array, cols: jax.Array, N: int) -> jax.Array:
-    """Fast-mode key: 18-bit quantized distance * 8192 + (8191 - col).
+    """Fast-mode key: quantized distance * 2^idx_bits + (2^idx_bits-1 - col).
 
     One max-reduce yields a unique winner whose column is recoverable from
     the key itself (ties break toward the lowest column, like topk).
-    Needs N <= 8192.
+    18 distance bits at N <= 8192; 31 - idx_bits above (N <= 2^20).
     """
+    ib = _idx_bits(N)
+    qbits = min(_Q_BITS, 31 - ib)  # q <= 0, so magnitude fits 31-ib bits
     worst = jnp.min(neg)
-    scale = jnp.float32(-(1 << _Q_BITS)) / jnp.minimum(worst, -1e-12)
+    scale = jnp.float32(-(1 << qbits)) / jnp.minimum(worst, -1e-12)
     q = jnp.floor(neg * scale).astype(jnp.int32)
-    q = jnp.maximum(q, np.int32(-(1 << _Q_BITS) + 1))
-    return q * 8192 + (8191 - cols)
+    q = jnp.maximum(q, np.int32(-(1 << qbits) + 1))
+    return q * np.int32(1 << ib) + (np.int32((1 << ib) - 1) - cols)
+
+
+def _build_key(neg, cols, N, mode):
+    if mode == "exact":
+        return _sortable_ikey(neg)
+    key = _packed_key(neg, cols, N)
+    if mode == "approx":
+        w = N
+        while w > _APPROX_L:
+            w //= 2
+            key = jnp.maximum(key[:, :w], key[:, w : 2 * w])
+    return key
+
+
+def _extract_rank(key, m, cols, N, exact):
+    """One neighbour rank: returns (int8 one-hot mask, updated key, new max)."""
+    if exact:
+        amin = jnp.min(jnp.where(key == m, cols, _BIG), axis=1, keepdims=True)
+        mask = (cols == amin).astype(jnp.int8)  # ties -> lowest column
+        key = jnp.where(cols == amin, _INT_MIN, key)
+    else:
+        ib = np.int32(1 << _idx_bits(N))
+        win = (ib - 1) - jnp.remainder(m, ib)  # floor-mod: keys < 0
+        mask = (cols == win).astype(jnp.int8)
+        key = jnp.where(key == m, _INT_MIN, key)
+    return mask, key, jnp.max(key, axis=1, keepdims=True)
 
 
 # ---------------------------------------------------------------------------
@@ -166,8 +239,8 @@ def _packed_key(neg: jax.Array, cols: jax.Array, N: int) -> jax.Array:
 
 def _round2_kernel(
     src_ref, planes_ref, inv_ref,
-    wz_ref, w1_ref, beta_ref, a1_ref, b1_ref,
-    w2_ref, scale2_ref, a2_ref, b2_ref,
+    wz_ref, w1_ref, beta_ref,
+    a1_ref, b1_ref, w2_ref, scale2_ref, a2_ref, b2_ref,
     s_out_ref, v_out_ref, ssum_ref,
     nbr_scratch,
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int, N: int,
@@ -175,62 +248,39 @@ def _round2_kernel(
 ):
     C = S + 3 * V
     exact = mode == "exact"
-    nplanes = 4 if exact else 2
-    PC = nplanes * C
     prec = jax.lax.Precision.HIGHEST if exact else None
 
     src = src_ref[0]  # (N, C) f32
     t = pl.program_id(1)
     ctr_raw = src_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]  # (T, C)
+    if exact:
+        ctr_g = ctr_raw  # bit-exact gather: self-edges cancel exactly
+    else:
+        cpl = planes_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
+        ctr_g = _decode_ctr_fast(cpl, inv_ref[:], C)
 
     # ---- phase 1: distances + keys ----
     neg = _neg_dist(ctr_raw, src, N, exact)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
-    if exact:
-        key = _sortable_ikey(neg)
-    else:
-        key = _packed_key(neg, cols, N)
-        if mode == "approx":
-            w = N
-            while w > _APPROX_L:
-                w //= 2
-                key = jnp.maximum(key[:, :w], key[:, w : 2 * w])
+    key = _build_key(neg, cols, N, mode)
 
     # ---- phase 2: per-rank extract + int8 plane gather into scratch ----
-    planes = planes_ref[0]  # (N, PC) int8
+    planes = planes_ref[0]
     m = jnp.max(key, axis=1, keepdims=True)
     for j in range(k):
-        if exact:
-            amin = jnp.min(jnp.where(key == m, cols, _BIG), axis=1, keepdims=True)
-            mask = (cols == amin).astype(jnp.int8)  # one-hot, ties -> lowest col
-            key = jnp.where(cols == amin, _INT_MIN, key)
-        else:
-            win = 8191 - jnp.remainder(m, np.int32(8192))  # floor-mod: keys < 0
-            mask = (cols == win).astype(jnp.int8)
-            key = jnp.where(key == m, _INT_MIN, key)
-        m = jnp.max(key, axis=1, keepdims=True)
+        mask, key, m = _extract_rank(key, m, cols, N, exact)
         g = jax.lax.dot_general(
             mask, planes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
-        )  # (T, PC)
-        if exact:
-            nbr_scratch[pl.ds(j * T, T), :] = _decode_exact(g, C)
-        else:
-            nbr_scratch[pl.ds(j * T, T), :] = _decode_fast(g, inv_ref[:], C)
-
-    # ---- phase 3: batched SVBlock on (k*T, C) edges ----
-    nbr = nbr_scratch[:]  # (k*T, C) f32, rank-major rows (j*T + t)
-    if exact:
-        ctr_g = ctr_raw  # bit-exact gather: self-edges cancel exactly
-    else:
-        # decode the centres through the same fixed-point path so self-edge
-        # differences are exactly zero (round-1 sv_round.py kept the same
-        # invariant through a shared bf16 cast)
-        cpl = planes_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-        q = cpl[:, :C].astype(jnp.int32) * np.int32(1 << 8) + (
-            cpl[:, C:].astype(jnp.int32) + 128
         )
-        ctr_g = q.astype(jnp.float32) * inv_ref[:]
+        nbr = _decode_exact(g, C) if exact else _decode_fast(g, inv_ref[:], C)
+        nbr_scratch[pl.ds(j * T, T), :] = nbr
+
+    # ---- phase 3: batched SVBlock on (k*T, C) rows (same structure as the
+    # per-rank v1 math, batched; A/B'd against an edge/centre-split and a
+    # block-diagonal-matmul variant on-chip — this plain form is fastest:
+    # whole-array elementwise ops, no unaligned lane slicing in hot ops) ----
+    nbr = nbr_scratch[:]  # (k*T, C) f32, rank-major rows (j*T + t)
     ctr_rep = jnp.broadcast_to(ctr_g[None], (k, T, C)).reshape(k * T, C)
     e = nbr - ctr_rep
 
@@ -267,9 +317,8 @@ def _round2_kernel(
 
     if binary:
         xq = jnp.sign(x_cat + beta_ref[:]).astype(jnp.bfloat16)
-        h = jnp.dot(
-            xq, w1_ref[:].astype(jnp.bfloat16), preferred_element_type=jnp.float32
-        )
+        h = jnp.dot(xq, w1_ref[:].astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32)
     else:
         h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32,
                     precision=prec)
@@ -312,15 +361,15 @@ def sv_round2(
     B, N, _ = src.shape
     C = S + 3 * V
     assert N % T == 0
-    assert mode == "exact" or N <= 8192, "packed selection needs N <= 8192"
+    assert mode == "exact" or N <= (1 << 20), "packed selection needs N <= 2^20"
     exact = mode == "exact"
     if exact:
         planes = pack_planes_exact(src)
         inv = jnp.ones((1, C), jnp.float32)
-        PC = 4 * C
+        PC = 4 * _plane_stride(C)
     else:
         planes, inv = pack_planes_fast(src)
-        PC = 2 * C
+        PC = 2 * _plane_stride(C)
     const = lambda b, t: (0, 0)
     s_out, v_out, ssum = pl.pallas_call(
         functools.partial(
@@ -378,98 +427,87 @@ def _round2_first_kernel(
     wz0_ref, wz1_ref, w1_ref, a1_ref, b1_ref,
     w2_ref, a2_ref, b2_ref,
     s_out_ref, v_out_ref, ssum_ref,
-    nbr_scratch,
+    e_scratch,
     *, S_out: int, V_out: int, k: int, T: int, N: int, mode: str,
     cross: bool,
 ):
+    """First-round variant. Per-component channels are 1-wide ([diff, ctr]
+    or [diff, ctr, cross]), so every Vector2Scalar / linear2 'matmul' is a
+    broadcast multiply on the VPU — no tiny-K MXU work at all; the only
+    matmul besides the gather is w1 (x_cat -> S_out)."""
     C = 3
     n_ch = 3 if cross else 2
     exact = mode == "exact"
     prec = jax.lax.Precision.HIGHEST if exact else None
 
-    pts = pts_ref[0]  # (N, 3)
+    pts = pts_ref[0]
     t = pl.program_id(1)
     ctr_raw = pts_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-
-    neg = _neg_dist(ctr_raw, pts, N, exact)
-    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
-    if exact:
-        key = _sortable_ikey(neg)
-    else:
-        key = _packed_key(neg, cols, N)
-        if mode == "approx":
-            w = N
-            while w > _APPROX_L:
-                w //= 2
-                key = jnp.maximum(key[:, :w], key[:, w : 2 * w])
-
-    planes = planes_ref[0]
-    m = jnp.max(key, axis=1, keepdims=True)
-    for j in range(k):
-        if exact:
-            amin = jnp.min(jnp.where(key == m, cols, _BIG), axis=1, keepdims=True)
-            mask = (cols == amin).astype(jnp.int8)
-            key = jnp.where(cols == amin, _INT_MIN, key)
-        else:
-            win = 8191 - jnp.remainder(m, np.int32(8192))  # floor-mod: keys < 0
-            mask = (cols == win).astype(jnp.int8)
-            key = jnp.where(key == m, _INT_MIN, key)
-        m = jnp.max(key, axis=1, keepdims=True)
-        g = jax.lax.dot_general(
-            mask, planes, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.int32,
-        )
-        if exact:
-            nbr_scratch[pl.ds(j * T, T), :] = _decode_exact(g, C)
-        else:
-            nbr_scratch[pl.ds(j * T, T), :] = _decode_fast(g, inv_ref[:], C)
-
-    nbr = nbr_scratch[:]  # (k*T, 3)
     if exact:
         ctr_g = ctr_raw
     else:
         cpl = planes_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-        q = cpl[:, :C].astype(jnp.int32) * np.int32(1 << 8) + (
-            cpl[:, C:].astype(jnp.int32) + 128
-        )
-        ctr_g = q.astype(jnp.float32) * inv_ref[:]
-    ctr_rep = jnp.broadcast_to(ctr_g[None], (k, T, C)).reshape(k * T, C)
-    e = nbr - ctr_rep
+        ctr_g = _decode_ctr_fast(cpl, inv_ref[:], C)
 
+    neg = _neg_dist(ctr_raw, pts, N, exact)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    key = _build_key(neg, cols, N, mode)
+
+    planes = planes_ref[0]
+    m = jnp.max(key, axis=1, keepdims=True)
+    for j in range(k):
+        mask, key, m = _extract_rank(key, m, cols, N, exact)
+        g = jax.lax.dot_general(
+            mask, planes, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        nbr = _decode_exact(g, C) if exact else _decode_fast(g, inv_ref[:], C)
+        e_scratch[pl.ds(j * T, T), :] = nbr - ctr_g
+
+    e = e_scratch[:]  # (k*T, 3) edge differences
+    ctr_b = jnp.broadcast_to(ctr_g[None], (k, T, 3)).reshape(k * T, 3)
     if cross:
-        nb = [nbr[:, i : i + 1] for i in range(3)]
-        cg = [ctr_rep[:, i : i + 1] for i in range(3)]
+        # cross from the reconstructed neighbour (not cross(e, ctr), which
+        # is equal in exact arithmetic but rounds differently than the
+        # reference's cross(nbr, ctr))
+        nbr_full = e + ctr_b
+        nb = [nbr_full[:, i : i + 1] for i in range(3)]
+        cg = [ctr_b[:, i : i + 1] for i in range(3)]
         cr = [
             nb[1] * cg[2] - nb[2] * cg[1],
             nb[2] * cg[0] - nb[0] * cg[2],
             nb[0] * cg[1] - nb[1] * cg[0],
         ]
-        v_e = [
-            jnp.concatenate([e[:, i : i + 1], ctr_rep[:, i : i + 1], cr[i]], axis=1)
-            for i in range(3)
-        ]  # (k*T, 3) x3
+        chans = lambda i: (e[:, i : i + 1], ctr_b[:, i : i + 1], cr[i])
     else:
-        v_e = [
-            jnp.concatenate([e[:, i : i + 1], ctr_rep[:, i : i + 1]], axis=1)
-            for i in range(3)
-        ]  # (k*T, 2) x3
+        chans = lambda i: (e[:, i : i + 1], ctr_b[:, i : i + 1])
 
-    def pieces(wz):
-        z = [
-            jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32, precision=prec)
-            for i in range(3)
-        ]
+    def pieces(wz_ref):
+        # z_i (k*T, 3) via broadcast multiplies: z_i = sum_c chan_c * wz[c]
+        wz = wz_ref[:]  # (n_ch, 3)
         out = []
+        z = []
+        for i in range(3):
+            ch = chans(i)
+            zi = ch[0] * wz[0:1, :]
+            for c in range(1, n_ch):
+                zi = zi + ch[c] * wz[c : c + 1, :]
+            z.append(zi)  # (k*T, 3)
         for jj in range(3):
-            acc = v_e[0] * z[0][:, jj : jj + 1]
-            acc = acc + v_e[1] * z[1][:, jj : jj + 1]
-            acc = acc + v_e[2] * z[2][:, jj : jj + 1]
-            out.append(acc)  # (k*T, n_ch)
+            acc = None
+            for i in range(3):
+                for c in range(n_ch):
+                    term = chans(i)[c] * z[i][:, jj : jj + 1]
+                    # channel-major layout [c0 c1 (c2)] per jj, matching
+                    # the reference's v_e channel order
+                    if acc is None:
+                        acc = [None] * n_ch
+                    acc[c] = term if acc[c] is None else acc[c] + term
+            out.append(jnp.concatenate(acc, axis=1))  # (k*T, n_ch)
         return out
 
-    sva = pieces(wz0_ref[:])
-    svb = pieces(wz1_ref[:])
-    # init_scalar partial sums, [c*3+j] ordering for the reference gate MLP
+    sva = pieces(wz0_ref)
+    svb = pieces(wz1_ref)
     ssum_ref[0, 0] = jnp.concatenate(
         [
             jnp.sum(sva[jj][:, c : c + 1], axis=0, keepdims=True)
@@ -480,18 +518,23 @@ def _round2_first_kernel(
     )
 
     x_cat = jnp.concatenate(sva + svb, axis=1)  # (k*T, 6*n_ch)
-    h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
+    h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
     y = h * a1_ref[:] + b1_ref[:]
     y = jnp.where(y >= 0, y, 0.2 * y)
     s_out_ref[0] = jnp.max(y.reshape(k, T, S_out), axis=0)
 
-    wlin = [
-        jnp.dot(v_e[i], w2_ref[:], preferred_element_type=jnp.float32,
-                precision=prec)
-        for i in range(3)
-    ]
-    nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
-    nrm = jnp.sqrt(nsq) + EPS
+    w2 = w2_ref[:]  # (n_ch, V_out)
+    for i in range(3):
+        ch = chans(i)
+        wl = ch[0] * w2[0:1, :]
+        for c in range(1, n_ch):
+            wl = wl + ch[c] * w2[c : c + 1, :]
+        if i == 0:
+            wlin = [wl]
+        else:
+            wlin.append(wl)
+    nrm = jnp.sqrt(wlin[0] ** 2 + wlin[1] ** 2 + wlin[2] ** 2) + EPS
     f = a2_ref[:] + b2_ref[:] / nrm
     for i in range(3):
         vi = jnp.mean((wlin[i] * f).reshape(k, T, V_out), axis=0)
@@ -521,10 +564,10 @@ def sv_round2_first(
     if exact:
         planes = pack_planes_exact(points)
         inv = jnp.ones((1, 3), jnp.float32)
-        PC = 12
+        PC = 4 * _plane_stride(3)
     else:
         planes, inv = pack_planes_fast(points)
-        PC = 6
+        PC = 2 * _plane_stride(3)
     const = lambda b, t: (0, 0)
     s_out, v_out, ssum = pl.pallas_call(
         functools.partial(

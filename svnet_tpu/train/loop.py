@@ -393,6 +393,7 @@ def _fused_cls_eval_step(args, state):
     eng = engine_cls(
         {"params": state.params, "batch_stats": state.batch_stats},
         k=args.k, binary=args.binary,
+        mode=getattr(args, "engine_mode", "exact"),
     )
 
     @jax.jit
@@ -411,6 +412,7 @@ def _fused_pseg_eval_step(args, state):
     eng = SVDGCNNPsegEngine(
         {"params": state.params, "batch_stats": state.batch_stats},
         k=args.k, binary=args.binary,
+        mode=getattr(args, "engine_mode", "exact"),
     )
 
     @jax.jit

@@ -8,6 +8,8 @@ import pytest
 from svnet_tpu.cli.main_cls_dgcnn import main as cls_main
 from svnet_tpu.cli.main_cls_pointnet import main as pn_main
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 
 @pytest.fixture(scope="module")
 def synth_data(tmp_path_factory):

@@ -14,6 +14,8 @@ import pytest
 from svnet_tpu import models
 from svnet_tpu.utils.convert import convert_state_dict, check_structure
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 
 @pytest.fixture(scope="module")
 def ref():

@@ -12,6 +12,8 @@ import pytest
 from svnet_tpu import models
 from svnet_tpu.utils.convert import check_structure, convert_state_dict
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 
 @pytest.fixture(scope="module")
 def ref():

@@ -8,6 +8,8 @@ import pytest
 from svnet_tpu import models
 from svnet_tpu.infer import SVDGCNNPsegEngine
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 B, N, K = 2, 128, 8
 
 

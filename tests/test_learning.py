@@ -7,10 +7,13 @@ end to end."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from svnet_tpu import models
 from svnet_tpu.train import cal_loss, make_optimizer
 from svnet_tpu.train.steps import TrainState, make_eval_step, make_train_step
+
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
 
 N = 64
 

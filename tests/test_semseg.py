@@ -8,6 +8,8 @@ import pytest
 
 from svnet_tpu.cli.main_semseg import main as semseg_main
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 
 @pytest.fixture(scope="module")
 def synth_s3dis(tmp_path_factory):

@@ -16,6 +16,8 @@ from svnet_tpu.ops.pallas.sv_edge import (
     svblock_gate,
 )
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 B, N, S, V, S_OUT, V_OUT, K, T = 2, 128, 16, 5, 24, 7, 10, 64
 
 

@@ -60,32 +60,30 @@ def _folded_first(key, n_ch=2):
 
 
 def test_plane_packing_roundtrip_exact():
+    from svnet_tpu.ops.pallas.sv_round2 import _decode_exact
+
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 11)) * 123.4
-    planes = pack_planes_exact(x)
-    g = planes.astype(jnp.int32) + 128
     C = 11
-    bits = jax.lax.shift_left(g[..., :C], np.int32(24))
-    bits = bits + jax.lax.shift_left(g[..., C : 2 * C], np.int32(16))
-    bits = bits + jax.lax.shift_left(g[..., 2 * C : 3 * C], np.int32(8))
-    bits = bits + g[..., 3 * C :]
-    back = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    planes = pack_planes_exact(x).astype(jnp.int32).reshape(21, -1)
+    back = _decode_exact(planes, C).reshape(3, 7, C)
     assert float(jnp.abs(back - x).max()) == 0.0
 
 
 def test_plane_packing_fast_error_bound():
+    from svnet_tpu.ops.pallas.sv_round2 import _decode_fast
+
     x = jax.random.normal(jax.random.PRNGKey(0), (3, 7, 11)) * 123.4
-    planes, inv = pack_planes_fast(x)
     C = 11
-    hi = planes[..., :C].astype(jnp.int32)
-    lo = planes[..., C:].astype(jnp.int32) + 128
-    q = jax.lax.shift_left(hi, np.int32(8)) + lo
-    back = q.astype(jnp.float32) * inv
+    planes, inv = pack_planes_fast(x)
+    back = _decode_fast(planes.astype(jnp.int32).reshape(21, -1), inv, C)
+    back = back.reshape(3, 7, C)
     amax = jnp.max(jnp.abs(x), axis=(0, 1))
     rel = jnp.abs(back - x) / amax
     assert float(rel.max()) < 2.0 ** -15
 
 
 @pytest.mark.parametrize("binary", [True, False])
+@pytest.mark.slow
 def test_round2_exact_matches_round1(binary):
     src = jax.random.normal(jax.random.PRNGKey(0), (B, N, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(1))
@@ -98,6 +96,7 @@ def test_round2_exact_matches_round1(binary):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_round2_fast_matches_round1_fast():
     """Same 18-bit packed-key selection as v1 fast (identical neighbour
     sets); gathers differ only in representation (16-bit fixed-point vs
@@ -129,6 +128,7 @@ def test_round2_approx_shapes_finite():
 
 
 @pytest.mark.parametrize("cross", [False, True])
+@pytest.mark.slow
 def test_round2_first_exact_matches_round1(cross):
     pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
     folded = _folded_first(jax.random.PRNGKey(1), n_ch=3 if cross else 2)

@@ -11,6 +11,8 @@ import pytest
 from svnet_tpu.cli.main_cls_pointnet import main as cls_pointnet_main
 from svnet_tpu.cli.main_partseg_pointnet import main as pseg_pointnet_main
 
+pytestmark = pytest.mark.slow  # interpret-mode/oracle test: minutes on 1 CPU
+
 
 @pytest.fixture(scope="module")
 def synth_data(tmp_path_factory):
