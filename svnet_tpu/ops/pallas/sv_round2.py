@@ -48,6 +48,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 EPS = 1e-6
 
+
 MODES = ("exact", "fast", "approx")
 _INT_MIN = np.int32(-(2**31) + 1)
 _BIG = np.int32(1 << 30)
@@ -274,15 +275,14 @@ def _round2_kernel(
             preferred_element_type=jnp.int32,
         )
         nbr = _decode_exact(g, C) if exact else _decode_fast(g, inv_ref[:], C)
-        nbr_scratch[pl.ds(j * T, T), :] = nbr
+        nbr_scratch[pl.ds(j * T, T), :] = nbr - ctr_g
 
     # ---- phase 3: batched SVBlock on (k*T, C) rows (same structure as the
     # per-rank v1 math, batched; A/B'd against an edge/centre-split and a
     # block-diagonal-matmul variant on-chip — this plain form is fastest:
     # whole-array elementwise ops, no unaligned lane slicing in hot ops) ----
-    nbr = nbr_scratch[:]  # (k*T, C) f32, rank-major rows (j*T + t)
-    ctr_rep = jnp.broadcast_to(ctr_g[None], (k, T, C)).reshape(k * T, C)
-    e = nbr - ctr_rep
+    ctr_rep = jnp.tile(ctr_g, (k, 1))
+    e = nbr_scratch[:]  # (k*T, C) edges, rank-major rows (j*T + t)
 
     # v_e[i]: (k*T, 2V) = [diff V | ctr V] per vector component
     v_e = [
@@ -296,10 +296,22 @@ def _round2_kernel(
 
     # Vector2Scalar: z_i = v_e_i @ wz; sv_j = sum_i v_e_i * z_i[:, j]
     wz = wz_ref[:]
+    # z feeds sign(sv + beta): must stay f32-faithful (HIGHEST) in exact
+    # mode or binarization flips; wlin below has no sign and takes the
+    # cheaper split-dot
     z = [
         jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32, precision=prec)
         for i in range(3)
     ]
+    # exact mode keeps HIGHEST here too: the v-stream feeds the NEXT
+    # round's kNN ordering, so a ~2^-17 split product perturbs neighbour
+    # sets (A/B'd: split-dot was 50 us cheaper but broke f32-faithfulness);
+    # fast/approx run the single-pass default
+    if exact:
+        vdot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32,
+                                    precision=prec)
+    else:
+        vdot = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32)
     sv = []
     for jj in range(3):
         acc = v_e[0] * z[0][:, jj : jj + 1]
@@ -309,17 +321,29 @@ def _round2_kernel(
 
     if S > 0:
         s_e = jnp.concatenate([e[:, :S], ctr_rep[:, :S]], axis=1)  # (k*T, 2S)
-        x_cat = jnp.concatenate([s_e] + sv, axis=1)
+        parts = [s_e] + sv
         ssum_ref[0, 0] = jnp.sum(s_e, axis=0, keepdims=True)
     else:
-        x_cat = jnp.concatenate(sv, axis=1)
+        parts = sv
         ssum_ref[0, 0] = jnp.zeros((1, ssum_ref.shape[-1]), jnp.float32)
 
     if binary:
-        xq = jnp.sign(x_cat + beta_ref[:]).astype(jnp.bfloat16)
-        h = jnp.dot(xq, w1_ref[:].astype(jnp.bfloat16),
-                    preferred_element_type=jnp.float32)
+        # sign+matmul per part instead of materializing x_cat: A/B'd
+        # -55 us/cloud (skips the (k*T, 2S+6V) concat + one full xq pass)
+        w1b = w1_ref[:].astype(jnp.bfloat16)
+        h = None
+        off = 0
+        for part in parts:
+            w = part.shape[1]
+            hp = jnp.dot(
+                jnp.sign(part + beta_ref[:, off : off + w]).astype(jnp.bfloat16),
+                w1b[off : off + w],
+                preferred_element_type=jnp.float32,
+            )
+            h = hp if h is None else h + hp
+            off += w
     else:
+        x_cat = jnp.concatenate(parts, axis=1)
         h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32,
                     precision=prec)
     y = h * a1_ref[:] + b1_ref[:]
@@ -328,11 +352,7 @@ def _round2_kernel(
 
     w2 = w2_ref[:]
     scale2 = scale2_ref[:]
-    wlin = [
-        jnp.dot(v_e[i], w2, preferred_element_type=jnp.float32, precision=prec)
-        * scale2
-        for i in range(3)
-    ]
+    wlin = [vdot(v_e[i], w2) * scale2 for i in range(3)]
     nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
     nrm = jnp.sqrt(nsq) + EPS
     f = a2_ref[:] + b2_ref[:] / nrm
@@ -427,27 +447,18 @@ def _round2_first_kernel(
     wz0_ref, wz1_ref, w1_ref, a1_ref, b1_ref,
     w2_ref, a2_ref, b2_ref,
     s_out_ref, v_out_ref, ssum_ref,
-    e_scratch,
+    nbr_scratch,
     *, S_out: int, V_out: int, k: int, T: int, N: int, mode: str,
     cross: bool,
 ):
-    """First-round variant. Per-component channels are 1-wide ([diff, ctr]
-    or [diff, ctr, cross]), so every Vector2Scalar / linear2 'matmul' is a
-    broadcast multiply on the VPU — no tiny-K MXU work at all; the only
-    matmul besides the gather is w1 (x_cat -> S_out)."""
     C = 3
     n_ch = 3 if cross else 2
     exact = mode == "exact"
     prec = jax.lax.Precision.HIGHEST if exact else None
 
-    pts = pts_ref[0]
+    pts = pts_ref[0]  # (N, 3)
     t = pl.program_id(1)
     ctr_raw = pts_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-    if exact:
-        ctr_g = ctr_raw
-    else:
-        cpl = planes_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
-        ctr_g = _decode_ctr_fast(cpl, inv_ref[:], C)
 
     neg = _neg_dist(ctr_raw, pts, N, exact)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
@@ -461,53 +472,54 @@ def _round2_first_kernel(
             mask, planes, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )
-        nbr = _decode_exact(g, C) if exact else _decode_fast(g, inv_ref[:], C)
-        e_scratch[pl.ds(j * T, T), :] = nbr - ctr_g
+        if exact:
+            nbr_scratch[pl.ds(j * T, T), :] = _decode_exact(g, C)
+        else:
+            nbr_scratch[pl.ds(j * T, T), :] = _decode_fast(g, inv_ref[:], C)
 
-    e = e_scratch[:]  # (k*T, 3) edge differences
-    ctr_b = jnp.broadcast_to(ctr_g[None], (k, T, 3)).reshape(k * T, 3)
+    nbr = nbr_scratch[:]  # (k*T, 3)
+    if exact:
+        ctr_g = ctr_raw
+    else:
+        cpl = planes_ref[0, pl.ds(pl.multiple_of(t * T, T), T), :]
+        ctr_g = _decode_ctr_fast(cpl, inv_ref[:], C)
+    ctr_rep = jnp.broadcast_to(ctr_g[None], (k, T, C)).reshape(k * T, C)
+    e = nbr - ctr_rep
+
     if cross:
-        # cross from the reconstructed neighbour (not cross(e, ctr), which
-        # is equal in exact arithmetic but rounds differently than the
-        # reference's cross(nbr, ctr))
-        nbr_full = e + ctr_b
-        nb = [nbr_full[:, i : i + 1] for i in range(3)]
-        cg = [ctr_b[:, i : i + 1] for i in range(3)]
+        nb = [nbr[:, i : i + 1] for i in range(3)]
+        cg = [ctr_rep[:, i : i + 1] for i in range(3)]
         cr = [
             nb[1] * cg[2] - nb[2] * cg[1],
             nb[2] * cg[0] - nb[0] * cg[2],
             nb[0] * cg[1] - nb[1] * cg[0],
         ]
-        chans = lambda i: (e[:, i : i + 1], ctr_b[:, i : i + 1], cr[i])
+        v_e = [
+            jnp.concatenate([e[:, i : i + 1], ctr_rep[:, i : i + 1], cr[i]], axis=1)
+            for i in range(3)
+        ]  # (k*T, 3) x3
     else:
-        chans = lambda i: (e[:, i : i + 1], ctr_b[:, i : i + 1])
+        v_e = [
+            jnp.concatenate([e[:, i : i + 1], ctr_rep[:, i : i + 1]], axis=1)
+            for i in range(3)
+        ]  # (k*T, 2) x3
 
-    def pieces(wz_ref):
-        # z_i (k*T, 3) via broadcast multiplies: z_i = sum_c chan_c * wz[c]
-        wz = wz_ref[:]  # (n_ch, 3)
+    def pieces(wz):
+        z = [
+            jnp.dot(v_e[i], wz, preferred_element_type=jnp.float32, precision=prec)
+            for i in range(3)
+        ]
         out = []
-        z = []
-        for i in range(3):
-            ch = chans(i)
-            zi = ch[0] * wz[0:1, :]
-            for c in range(1, n_ch):
-                zi = zi + ch[c] * wz[c : c + 1, :]
-            z.append(zi)  # (k*T, 3)
         for jj in range(3):
-            acc = None
-            for i in range(3):
-                for c in range(n_ch):
-                    term = chans(i)[c] * z[i][:, jj : jj + 1]
-                    # channel-major layout [c0 c1 (c2)] per jj, matching
-                    # the reference's v_e channel order
-                    if acc is None:
-                        acc = [None] * n_ch
-                    acc[c] = term if acc[c] is None else acc[c] + term
-            out.append(jnp.concatenate(acc, axis=1))  # (k*T, n_ch)
+            acc = v_e[0] * z[0][:, jj : jj + 1]
+            acc = acc + v_e[1] * z[1][:, jj : jj + 1]
+            acc = acc + v_e[2] * z[2][:, jj : jj + 1]
+            out.append(acc)  # (k*T, n_ch)
         return out
 
-    sva = pieces(wz0_ref)
-    svb = pieces(wz1_ref)
+    sva = pieces(wz0_ref[:])
+    svb = pieces(wz1_ref[:])
+    # init_scalar partial sums, [c*3+j] ordering for the reference gate MLP
     ssum_ref[0, 0] = jnp.concatenate(
         [
             jnp.sum(sva[jj][:, c : c + 1], axis=0, keepdims=True)
@@ -518,23 +530,18 @@ def _round2_first_kernel(
     )
 
     x_cat = jnp.concatenate(sva + svb, axis=1)  # (k*T, 6*n_ch)
-    h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32,
-                precision=prec)
+    h = jnp.dot(x_cat, w1_ref[:], preferred_element_type=jnp.float32, precision=prec)
     y = h * a1_ref[:] + b1_ref[:]
     y = jnp.where(y >= 0, y, 0.2 * y)
     s_out_ref[0] = jnp.max(y.reshape(k, T, S_out), axis=0)
 
-    w2 = w2_ref[:]  # (n_ch, V_out)
-    for i in range(3):
-        ch = chans(i)
-        wl = ch[0] * w2[0:1, :]
-        for c in range(1, n_ch):
-            wl = wl + ch[c] * w2[c : c + 1, :]
-        if i == 0:
-            wlin = [wl]
-        else:
-            wlin.append(wl)
-    nrm = jnp.sqrt(wlin[0] ** 2 + wlin[1] ** 2 + wlin[2] ** 2) + EPS
+    wlin = [
+        jnp.dot(v_e[i], w2_ref[:], preferred_element_type=jnp.float32,
+                precision=prec)
+        for i in range(3)
+    ]
+    nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
+    nrm = jnp.sqrt(nsq) + EPS
     f = a2_ref[:] + b2_ref[:] / nrm
     for i in range(3):
         vi = jnp.mean((wlin[i] * f).reshape(k, T, V_out), axis=0)
