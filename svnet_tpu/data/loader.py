@@ -1,23 +1,21 @@
-"""Batched loader with background prefetch and a worker pool.
+"""Batched loader with background prefetch (single producer thread).
 
 Replaces torch DataLoader(num_workers=8) (ref main_cls_dgcnn.py:119-120)
 the host-Python way that actually feeds a TPU: a producer thread assembles
-batches (item fetch + augmentation fanned out over a thread pool — the
-per-item work is numpy, which releases the GIL) and a bounded queue
-double-buffers them ahead of the training step, so host batch prep overlaps
-device compute. The expensive augmentation (rotation) stays batched
-on-device inside the jitted step.
+batches and a bounded queue double-buffers them ahead of the training
+step, so host batch prep overlaps device compute. The expensive
+augmentation (rotation) stays batched on-device inside the jitted step.
 
-``num_workers=0`` degrades to the synchronous single-thread path (useful in
-tests and for determinism debugging). Iteration order and RNG use are
-identical in both paths, so the two are batch-for-batch deterministic.
+``num_workers=0`` degrades to the synchronous in-line path (useful in
+tests and for determinism debugging); any value > 0 enables the single
+producer thread. Iteration order and RNG use are identical in both paths,
+so the two are batch-for-batch deterministic.
 """
 
 from __future__ import annotations
 
 import queue
 import threading
-from concurrent.futures import ThreadPoolExecutor
 from typing import Iterator
 
 import numpy as np
@@ -38,8 +36,8 @@ class Loader:
         """``pad_last``: pad the final short batch up to batch_size by
         repeating items (keeps a single static XLA program); the pad count is
         reported so metrics can mask it out.
-        ``num_workers``: >0 enables the background producer thread plus an
-        item-fetch thread pool of that size. ``prefetch``: queue depth."""
+        ``num_workers``: >0 enables the background producer thread (batch
+        prep overlaps device compute). ``prefetch``: queue depth."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -100,16 +98,20 @@ class Loader:
         _SENTINEL = object()
 
         def produce():
+            # items are fetched SEQUENTIALLY inside this one producer
+            # thread: dataset __getitem__ mutates a shared numpy Generator
+            # (augmentation), which is not thread-safe — a worker pool here
+            # raced on it and corrupted batches (found as training NaNs,
+            # round 2). The speedup comes from overlapping batch prep with
+            # device compute via the queue, not from intra-batch threads.
             try:
-                with ThreadPoolExecutor(self.num_workers) as pool:
-                    for idx, pad in self._index_batches():
-                        if stop.is_set():
-                            return
-                        items = list(pool.map(self.dataset.__getitem__,
-                                              [int(i) for i in idx]))
-                        q.put(self._collate(items, pad))
+                for idx, pad in self._index_batches():
+                    if stop.is_set():
+                        return
+                    items = [self.dataset[int(i)] for i in idx]
+                    q.put(self._collate(items, pad))
                 q.put(_SENTINEL)
-            except BaseException as e:  # surface worker errors to the consumer
+            except BaseException as e:  # surface producer errors
                 q.put(e)
 
         t = threading.Thread(target=produce, daemon=True)

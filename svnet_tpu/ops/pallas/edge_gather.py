@@ -48,19 +48,27 @@ def _fwd_kernel(idx_ref, planes_ref, out_ref, *, k: int, T: int, N: int, C: int)
         out_ref[0, :, j, :] = _decode_exact(g, C)
 
 
-def _bwd_kernel(idx_ref, g_ref, out_ref, *, k: int, T: int, N: int, C: int):
-    """dsrc tile (T, C) = sum over all (n, j) edges pointing into this tile.
+def _bwd_kernel(idx_ref, g_ref, out_ref, *, T: int, CH: int):
+    """dsrc tile (T, C) += contributions from one edge chunk.
 
-    idx comes in flattened (1, N*k) for the whole batch row; g as (N*k, C).
-    oh[r, m] = (idx[r] == n0 + m) builds the transposed one-hot on the fly.
+    Grid (B, N//T, NK//CH); the output block is revisited across the chunk
+    axis (constant index) and accumulated. oh[r, m] = (idx[r] == n0 + m)
+    builds the transposed one-hot on the fly; chunking keeps the (CH, T)
+    one-hot and the (CH, C) cotangent chunk inside the ~16 MB VMEM budget.
     """
     t = pl.program_id(1)
+    c = pl.program_id(2)
     n0 = t * T
-    idxl = idx_ref[0]  # (1, N*k) int32
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N * k, T), 1) + n0  # target col
-    oh = (idxl.reshape(N * k, 1) == rows).astype(jnp.bfloat16)  # (N*k, T)
-    g = g_ref[0].astype(jnp.bfloat16)  # (N*k, C)
-    out_ref[0] = jax.lax.dot_general(
+
+    @pl.when(c == 0)
+    def _():
+        out_ref[0] = jnp.zeros_like(out_ref[0])
+
+    idxl = idx_ref[0]  # (1, CH) int32 chunk
+    rows = jax.lax.broadcasted_iota(jnp.int32, (CH, T), 1) + n0
+    oh = (idxl.reshape(CH, 1) == rows).astype(jnp.bfloat16)  # (CH, T)
+    g = g_ref[0].astype(jnp.bfloat16)  # (CH, C)
+    out_ref[0] += jax.lax.dot_general(
         oh, g, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )  # (T, C)
@@ -111,17 +119,22 @@ def _edge_gather_bwd(interpret, res, g):
     idx, (B, N, C) = res
     k = idx.shape[-1]
     T = min(128, N)
-    idx_flat = idx.reshape(B, 1, N * k)
-    g_flat = g.reshape(B, N * k, C)
+    NK = N * k
+    CH = NK
+    # chunk the edge axis so (CH, T) one-hot + (CH, C) chunk fit VMEM
+    while CH * (T * 2 + C * 6) > 6 * 1024 * 1024 and CH % 2 == 0:
+        CH //= 2
+    idx_flat = idx.reshape(B, 1, NK)
+    g_flat = g.reshape(B, NK, C)
     dsrc = pl.pallas_call(
-        functools.partial(_bwd_kernel, k=k, T=T, N=N, C=C),
-        grid=(B, N // T),
+        functools.partial(_bwd_kernel, T=T, CH=CH),
+        grid=(B, N // T, NK // CH),
         in_specs=[
-            pl.BlockSpec((1, 1, N * k), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N * k, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, CH), lambda b, t, c: (b, 0, c), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, CH, C), lambda b, t, c: (b, c, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, T, C), lambda b, t: (b, t, 0), memory_space=pltpu.VMEM
+            (1, T, C), lambda b, t, c: (b, t, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((B, N, C), jnp.float32),
         interpret=interpret,

@@ -5,10 +5,12 @@ Replaces the reference's knn (sv_util.py:19-25) hot spot the TPU way
 
   * per (batch, point-tile) program: one MXU matmul produces a (T, N)
     negative-squared-distance tile in VMEM;
-  * top-k via k iterative masked-argmax passes on the VPU (k is 20/40 —
-    far cheaper than XLA's full row sort, and the (N, N) matrix never
-    touches HBM);
-  * neighbour ordering is by descending -distance with first-occurrence
+  * top-k via the sv_round2 fused extraction (round 2): exact mode uses
+    order-preserving int32 keys (1 fused update+max pass + 1 min-where
+    pass per rank — was ~5 passes of argmax in round 1); fast mode packs
+    the quantized distance with the column index so the max IS the winner
+    (1 fused pass per rank);
+  * neighbour ordering is by descending -distance with lowest-index
     tie-break — same neighbour *sets* as torch.topk (order cancels through
     the symmetric svpool, SURVEY.md §7 hard part 2).
 """
@@ -22,39 +24,46 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_NEG_INF = float("-inf")
+from svnet_tpu.ops.pallas.sv_round2 import (
+    _build_key,
+    _extract_rank,
+    _neg_dist,
+)
 
 
-def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, n: int):
+def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, N: int, mode: str):
     xt = x_tile_ref[0].astype(jnp.float32)  # (T, C)
     xa = x_all_ref[0].astype(jnp.float32)  # (N, C)
+    exact = mode == "exact"
+    T = xt.shape[0]
 
-    inner = jax.lax.dot_general(
-        xt,
-        xa,
-        (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (T, N)
-    tt = jnp.sum(xt * xt, axis=1, keepdims=True)  # (T, 1)
-    aa = jnp.sum(xa * xa, axis=1, keepdims=True).reshape(1, -1)  # (1, N)
-    neg = 2.0 * inner - tt - aa  # (T, N), larger = closer
-
-    cols = jax.lax.broadcasted_iota(jnp.int32, neg.shape, 1)
+    neg = _neg_dist(xt, xa, N, exact)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+    key = _build_key(neg, cols, N, mode)
+    m = jnp.max(key, axis=1, keepdims=True)
     for j in range(k):
-        amax = jnp.argmax(neg, axis=1).astype(jnp.int32)  # (T,)
-        out_ref[0, :, j] = amax
-        neg = jnp.where(cols == amax[:, None], _NEG_INF, neg)
+        mask, key, m = _extract_rank(key, m, cols, N, exact)
+        # winner column from the one-hot mask in one reduce
+        out_ref[0, :, j] = jnp.max(mask.astype(jnp.int32) * cols, axis=1)
 
 
-@functools.partial(jax.jit, static_argnames=("k", "tile", "interpret"))
-def knn_pallas(x: jax.Array, k: int, tile: int = 128, interpret: bool = False) -> jax.Array:
-    """k nearest neighbours (self included). x: (B, N, C) -> (B, N, k) int32."""
+@functools.partial(jax.jit, static_argnames=("k", "tile", "mode", "interpret"))
+def knn_pallas(
+    x: jax.Array, k: int, tile: int = 128, mode: str = "exact",
+    interpret: bool = False,
+) -> jax.Array:
+    """k nearest neighbours (self included). x: (B, N, C) -> (B, N, k) int32.
+
+    ``mode``: 'exact' = f32-exact ordering (HIGHEST-precision distances,
+    sortable-int keys); 'fast'/'approx' = quantized 18-bit ordering with
+    single-pass extraction (see sv_round2).
+    """
     B, N, C = x.shape
     assert N % tile == 0, (N, tile)
     grid = (B, N // tile)
 
     return pl.pallas_call(
-        functools.partial(_knn_kernel, k=k, n=N),
+        functools.partial(_knn_kernel, k=k, N=N, mode=mode),
         grid=grid,
         in_specs=[
             pl.BlockSpec(

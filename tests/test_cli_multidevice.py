@@ -6,6 +6,8 @@ import pytest
 
 from svnet_tpu.cli.main_cls_pointnet import main as cls_main
 
+pytestmark = pytest.mark.slow  # minutes on this 1-CPU box
+
 
 @pytest.fixture(scope="module")
 def synth_data(tmp_path_factory):

@@ -8,6 +8,8 @@ import pytest
 
 from svnet_tpu import models, ops
 
+pytestmark = pytest.mark.slow  # minutes on this 1-CPU box
+
 KEY = jax.random.PRNGKey(0)
 B, N, NPART = 2, 64, 50
 K = 8
