@@ -184,8 +184,14 @@ class VectorBN(nn.Module):
 
     @nn.compact
     def __call__(self, v: jax.Array, train: bool = False) -> jax.Array:
-        # v: (..., 3, V)
-        norm = jnp.sqrt(jnp.sum(v * v, axis=-2)) + EPS  # (..., V)
+        # v: (..., 3, V). The squared norm is floored before sqrt: once a
+        # channel's magnitude underflows f32 (seen after ~10 epochs of
+        # binary training — weight decay + gating shrink channels), the
+        # sqrt gradient at exactly 0 is inf and the whole run NaNs. The
+        # floor (1e-12 -> norms >= 1e-6, i.e. == EPS) is far below any
+        # parity tolerance and gives a clean zero gradient there.
+        nsq = jnp.maximum(jnp.sum(v * v, axis=-2), 1e-12)
+        norm = jnp.sqrt(nsq) + EPS  # (..., V)
         norm_bn = nn.BatchNorm(
             use_running_average=not train,
             momentum=0.9,

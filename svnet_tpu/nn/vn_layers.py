@@ -60,7 +60,9 @@ class VNBatchNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
-        norm = jnp.sqrt(jnp.sum(x * x, axis=-2)) + EPS
+        # floored before sqrt: inf gradient at underflowed-to-0 norms
+        # (see sv_layers.VectorBN)
+        norm = jnp.sqrt(jnp.maximum(jnp.sum(x * x, axis=-2), 1e-12)) + EPS
         norm_bn = nn.BatchNorm(
             use_running_average=not train, momentum=0.9, epsilon=1e-5, name="bn"
         )(norm)
