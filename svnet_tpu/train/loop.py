@@ -192,10 +192,22 @@ def run_cls(args) -> Optional[float]:
     distiller = None
     if getattr(args, "preload", None):
         teacher_model = _build_cls_model(_fp_copy(args), num_classes)
+        # the restore template must be TEACHER-shaped: a binary student's
+        # tree has extra leaves (beta/scale) the FP teacher checkpoint
+        # lacks (found when distilling FP -> binary, round 2)
+        t_shapes = jax.eval_shape(
+            lambda: teacher_model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.num_points, 3), jnp.float32),
+            )
+        )
+        t_zeros = jax.tree.map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), t_shapes
+        )
         t_template = {
             "epoch": 0,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
+            "params": t_zeros["params"],
+            "batch_stats": t_zeros["batch_stats"],
             "best_metric": 0.0,
         }
         t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
