@@ -47,11 +47,29 @@ EPS = 1e-6
 BN_EPS = 1e-5
 
 
-def _auto_round_tile(N: int, tile: int) -> int:
-    """Point-tile for the sv_round kernels: the selection state is ~3 live
-    (T, N) f32/int32 buffers, so T shrinks as N grows to stay within VMEM."""
-    budget = max(9_000_000 // (12 * N), 64)
-    return int(min(max(tile * 4, 64), N, budget // 64 * 64 or 64))
+def _auto_round_tile(
+    N: int, tile: int, k: int = 20, C: int = 64, mode: str = "fast"
+) -> int:
+    """Point-tile for the sv_round kernels within the ~16 MB VMEM budget.
+
+    Live per-program state: ~3 (T, N) f32/int32 selection buffers (exact
+    mode holds ~5 — HIGHEST-precision distance temporaries + the key and
+    candidate arrays), plus in exact mode the 4-byte-plane gather tiles
+    and f32 block intermediates over the (k*T, C) scratch. Rounded down to
+    a power of two so any pow2 N divides evenly.
+    """
+    sel_div = 20 if mode == "exact" else 12
+    t = min(max(tile * 4, 64), N, max(9_000_000 // (sel_div * N), 32))
+    if mode == "exact":
+        t = min(t, max(4_500_000 // max(16 * k * C, 1), 32))
+    p2 = 1
+    while p2 * 2 <= t:
+        p2 *= 2
+    t = p2
+    while N % t:
+        t //= 2
+    return max(int(t), 8)
+
 
 # (S_in, V_in, S_out, V_out) per fused round of SV_DGCNN_CLS
 _ROUNDS = {
@@ -206,7 +224,7 @@ class SVDGCNNClsEngine:
             s1, v1_flat, s_mean = sv_round2_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
-                T=_auto_round_tile(N, self.tile),
+                T=_auto_round_tile(N, self.tile, k, 3, self.mode),
                 mode=self.mode, interpret=self.interpret,
             )
         elif self.rounds_impl == "round":
@@ -237,7 +255,7 @@ class SVDGCNNClsEngine:
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
             if self.rounds_impl in ("round", "round2"):
-                t_round = _auto_round_tile(N, self.tile)
+                t_round = _auto_round_tile(N, self.tile, k, S + 3 * V, self.mode)
                 if self.rounds_impl == "round2":
                     so, vo, se_mean = sv_round2(
                         joint, self.folded[name],
@@ -394,7 +412,7 @@ class SVDGCNNPsegEngine:
         s1, v1_flat, s_mean = sv_round2_first(
             points, self.folded_first,
             S_out=s1_dim, V_out=v1_dim, k=k,
-            T=_auto_round_tile(N, self.tile),
+            T=_auto_round_tile(N, self.tile, k, 3, self.mode),
             mode=self.mode, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
@@ -408,7 +426,7 @@ class SVDGCNNPsegEngine:
             so, vo, se_mean = sv_round2(
                 joint, self.folded[name],
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                T=_auto_round_tile(N, self.tile),
+                T=_auto_round_tile(N, self.tile, k, S + 3 * V, self.mode),
                 binary=binary, mode=self.mode, interpret=self.interpret,
             )
             gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
