@@ -580,7 +580,8 @@ class SVPointNetClsEngine:
 
         s0, v0_flat, s_mean = sv_round2_first(
             points, self.folded_first,
-            S_out=32, V_out=10, k=k, T=_auto_round_tile(N, self.tile // 4),
+            S_out=32, V_out=10, k=k,
+            T=_auto_round_tile(N, self.tile // 4, k, 3, self.mode),
             mode=self.mode, cross=True, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ enc["conv_pos"]["gate_fc1"]["kernel"])

@@ -12,7 +12,10 @@ directions through the MXU instead:
             bit-exactly (same trick as sv_round2);
   backward: dsrc[n] = sum over edges (t, j) with idx[t, j] == n of
             g[t, j] — a transposed one-hot bf16 matmul per source tile
-            (scatter-add as MXU work, ROADMAP r1 item 1's design).
+            (scatter-add as MXU work, ROADMAP r1 item 1's design). The
+            cotangent rides two bf16 planes (hi + residual) with f32 MXU
+            accumulation -> ~2^-16-relative (near-f32) gradients; 'xla'
+            (config.edge_gather) remains the exact-f32 escape hatch.
 
 Selection indices carry no gradient (piecewise-constant), matching
 jax.lax.stop_gradient semantics of the XLA path.
@@ -67,11 +70,22 @@ def _bwd_kernel(idx_ref, g_ref, out_ref, *, T: int, CH: int):
     idxl = idx_ref[0]  # (1, CH) int32 chunk
     rows = jax.lax.broadcasted_iota(jnp.int32, (CH, T), 1) + n0
     oh = (idxl.reshape(CH, 1) == rows).astype(jnp.bfloat16)  # (CH, T)
-    g = g_ref[0].astype(jnp.bfloat16)  # (CH, C)
-    out_ref[0] += jax.lax.dot_general(
-        oh, g, (((0,), (0,)), ((), ())),
+    # two-plane bf16 split of the f32 cotangent (hi + residual): the one-hot
+    # operand is exact in bf16 and the MXU accumulates in f32, so the only
+    # error left is the residual's own bf16 rounding ~2^-16 relative —
+    # near-f32 gradients at 2x the matmul cost (ADVICE r2)
+    gf = g_ref[0]  # (CH, C) f32
+    g_hi = gf.astype(jnp.bfloat16)
+    g_lo = (gf - g_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(
+        oh, g_hi, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (T, C)
+    )
+    acc += jax.lax.dot_general(
+        oh, g_lo, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    out_ref[0] += acc  # (T, C)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))

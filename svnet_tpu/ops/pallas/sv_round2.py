@@ -19,8 +19,10 @@ Redesign of sv_round.py after round-1 profiling showed two walls:
        * exact: 4 bit-planes of the f32 pattern -> bit-exact f32 rows at
          ~half the MXU time of the old 3-way split;
        * fast: 2 fixed-point planes (int16 per-channel quantization) ->
-         ~2^-15 relative error, strictly tighter than round-1's bf16 gather
-         (2^-8), at another 2x less MXU time.
+         ~2^-15 ABSOLUTE error of the per-channel max (tighter than round-1's
+         bf16 gather — whose ~2^-8 error is RELATIVE to the value — for
+         values within ~2^7 of the channel max; small values see larger
+         relative error), at another 2x less MXU time.
 
 The per-edge SVBlock math is batched over (k*T, .) rows after the gather
 loop, using whole-array elementwise ops only. Two "obvious" optimizations
@@ -94,8 +96,9 @@ def pack_planes_fast(x: jax.Array):
     """f32 (..., C) -> (int8 (..., 2*stride) planes, f32 (1, C) inv-scales).
 
     Per-channel symmetric int16 fixed-point: q = round(x * 32704 / max|x_c|)
-    split into high/low bytes. Relative error ~2^-15 of the channel max —
-    tighter than round-1's bf16 gather (2^-8 of the value).
+    split into high/low bytes. ABSOLUTE error ~2^-15 of the channel max;
+    vs round-1's bf16 gather (error ~2^-8 RELATIVE to the value) this is
+    tighter for values within ~2^7 of the channel max, looser below.
     """
     red = tuple(range(x.ndim - 1))
     amax = jnp.max(jnp.abs(x), axis=red, keepdims=False)  # (C,)
@@ -212,8 +215,14 @@ def _build_key(neg, cols, N, mode):
         return _sortable_ikey(neg)
     key = _packed_key(neg, cols, N)
     if mode == "approx":
+        # the pairwise fold halves the width down to _APPROX_L; an odd
+        # intermediate width would silently drop the last column's key
         w = N
         while w > _APPROX_L:
+            assert w % 2 == 0, (
+                f"approx fold needs N = 2^m * L for L in [{_APPROX_L}, "
+                f"{2 * _APPROX_L}); got N={N} (width {w} is odd)"
+            )
             w //= 2
             key = jnp.maximum(key[:, :w], key[:, w : 2 * w])
     return key
