@@ -42,6 +42,7 @@ from svnet_tpu.ops.pallas.sv_point import (
 )
 from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
 from svnet_tpu.ops.pallas.sv_round2 import sv_round2, sv_round2_first
+from svnet_tpu.ops.pallas.sv_round3 import sv_round3, sv_round3_first
 
 EPS = 1e-6
 BN_EPS = 1e-5
@@ -147,13 +148,14 @@ class SVDGCNNClsEngine:
         tile: int = 64,
         knn_impl: str = "pallas",
         exact: bool = True,
-        rounds_impl: str = "round2",
+        rounds_impl: str = "round3",
         interpret: bool | None = None,
         mode: str | None = None,
     ):
-        """``rounds_impl``: 'round2' = v2 fused kNN+block kernel (int8-plane
-        gather, fused selection); 'round' = round-1 kernel; 'edge' =
-        separate kNN + idx-consuming sv_edge.
+        """``rounds_impl``: 'round3' = v3 transposed (edges-along-lanes)
+        fused kernel — the fastest; 'round2' = v2 fused kNN+block kernel
+        (int8-plane gather, fused selection); 'round' = round-1 kernel;
+        'edge' = separate kNN + idx-consuming sv_edge.
         ``mode``: 'exact' (bit-exact f32 gather, f32-exact neighbour
         ordering), 'fast' (16-bit fixed-point gather, 18-bit quantized
         selection), 'approx' (fast + folded-bin selection, recall ~0.96 at
@@ -220,7 +222,13 @@ class SVDGCNNClsEngine:
 
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
-        if self.rounds_impl == "round2":
+        if self.rounds_impl == "round3":
+            s1, v1_flat, s_mean = sv_round3_first(
+                points, self.folded_first,
+                S_out=64 // 2, V_out=64 // 6, k=k,
+                mode=self.mode, interpret=self.interpret,
+            )
+        elif self.rounds_impl == "round2":
             s1, v1_flat, s_mean = sv_round2_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
@@ -254,9 +262,16 @@ class SVDGCNNClsEngine:
             joint = jnp.concatenate(
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
-            if self.rounds_impl in ("round", "round2"):
+            if self.rounds_impl in ("round", "round2", "round3"):
                 t_round = _auto_round_tile(N, self.tile, k, S + 3 * V, self.mode)
-                if self.rounds_impl == "round2":
+                if self.rounds_impl == "round3":
+                    so, vo, se_mean = sv_round3(
+                        joint, self.folded[name],
+                        S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                        binary=self.binary, mode=self.mode,
+                        interpret=self.interpret,
+                    )
+                elif self.rounds_impl == "round2":
                     so, vo, se_mean = sv_round2(
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
@@ -344,6 +359,7 @@ class SVDGCNNPsegEngine:
         exact: bool = True,
         interpret: bool | None = None,
         mode: str | None = None,
+        rounds_impl: str = "round3",
     ):
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
@@ -355,6 +371,7 @@ class SVDGCNNPsegEngine:
         self.mode = mode if mode is not None else ("exact" if exact else "fast")
         self.exact = self.mode == "exact"
         self.interpret = interpret
+        self.rounds_impl = rounds_impl
 
         self.dims = {
             "conv1": (_V(32), _V(10)),
@@ -409,12 +426,19 @@ class SVDGCNNPsegEngine:
         binary = self.binary
 
         s1_dim, v1_dim = self.dims["conv1"]
-        s1, v1_flat, s_mean = sv_round2_first(
-            points, self.folded_first,
-            S_out=s1_dim, V_out=v1_dim, k=k,
-            T=_auto_round_tile(N, self.tile, k, 3, self.mode),
-            mode=self.mode, interpret=self.interpret,
-        )
+        if self.rounds_impl == "round3":
+            s1, v1_flat, s_mean = sv_round3_first(
+                points, self.folded_first,
+                S_out=s1_dim, V_out=v1_dim, k=k,
+                mode=self.mode, interpret=self.interpret,
+            )
+        else:
+            s1, v1_flat, s_mean = sv_round2_first(
+                points, self.folded_first,
+                S_out=s1_dim, V_out=v1_dim, k=k,
+                T=_auto_round_tile(N, self.tile, k, 3, self.mode),
+                mode=self.mode, interpret=self.interpret,
+            )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
         v1 = v1_flat.reshape(B, N, 3, v1_dim) * g[:, None, None, :]
@@ -423,12 +447,19 @@ class SVDGCNNPsegEngine:
         for name, (S, V, S_out, V_out) in self.rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
-            so, vo, se_mean = sv_round2(
-                joint, self.folded[name],
-                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                T=_auto_round_tile(N, self.tile, k, S + 3 * V, self.mode),
-                binary=binary, mode=self.mode, interpret=self.interpret,
-            )
+            if self.rounds_impl == "round3":
+                so, vo, se_mean = sv_round3(
+                    joint, self.folded[name],
+                    S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                    binary=binary, mode=self.mode, interpret=self.interpret,
+                )
+            else:
+                so, vo, se_mean = sv_round2(
+                    joint, self.folded[name],
+                    S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                    T=_auto_round_tile(N, self.tile, k, S + 3 * V, self.mode),
+                    binary=binary, mode=self.mode, interpret=self.interpret,
+                )
             gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
             gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
             vo = vo * jnp.tile(gg, (1, 3))[:, None, :]
@@ -578,10 +609,9 @@ class SVPointNetClsEngine:
         enc, enc_bs = self.enc, self.enc_bs
         B, N = points.shape[0], points.shape[1]
 
-        s0, v0_flat, s_mean = sv_round2_first(
+        s0, v0_flat, s_mean = sv_round3_first(
             points, self.folded_first,
             S_out=32, V_out=10, k=k,
-            T=_auto_round_tile(N, self.tile // 4, k, 3, self.mode),
             mode=self.mode, cross=True, interpret=self.interpret,
         )
         g = jax.nn.relu(s_mean @ enc["conv_pos"]["gate_fc1"]["kernel"])

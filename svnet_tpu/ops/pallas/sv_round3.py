@@ -1,0 +1,720 @@
+"""Fused SV-DGCNN round v3: the TRANSPOSED (edges-along-lanes) layout.
+
+Round-2 profiling (PERF.md) left two measured walls in the v2 kernel:
+
+  1. the FIRST round (C=3 coords) cost ~375 us/cloud exact because its
+     per-edge feature arrays are 1-3 LANES wide — the VPU ran at <10% lane
+     utilization — and the K=2..6 HIGHEST f32 matmuls pad K to 128 at 6
+     passes each;
+  2. conv-round block math kept (k*T, 2V) arrays at 16-50% lane utilization
+     and z/wlin HIGHEST tiny-K matmuls dominated the exact block cost.
+
+v3 turns the whole round 90 degrees: centre points run along LANES and
+channels/quantities along SUBLANES. Concretely, per (batch, point-tile)
+program:
+
+  * selection operates on (N, T) keys — the same 1-2 fused passes per rank
+    as v2 (sortable-int exact keys / packed fast keys / folded approx
+    keys), with reductions along sublanes instead of lanes;
+  * the one-hot gather is planesT (PC, N) @ mask (N, T) -> (PC, T): the
+    gathered rows land CHANNEL-MAJOR, feeding the transposed block math
+    directly (plane stride shrinks 64 -> 8: sublane alignment granule);
+  * block math runs on (channels, R*T) arrays — lane-dense at any channel
+    count. The tiny-K contractions become exact f32 VPU work (SMEM-scalar
+    FMAs for the first round's n_ch<=3 quantities; multiply + sublane-
+    reduce for the conv rounds' Vector2Scalar z) instead of padded
+    HIGHEST matmuls — cheaper AND f32-exact in every mode;
+  * neighbour ranks are processed in chunks of R with pooled outputs
+    accumulated on the fly (s: running max, v: running sum) — no (k*T, C)
+    scratch, bounded VMEM at any k.
+
+Semantics match sv_round2 exactly (reference: get_graph_feature_sv ->
+SVBlock -> svpool, sv_dgcnn_cls.py:55-65, sv_util.py:90-132,
+sv_layers.py:151-196; first round: sv_dgcnn_cls.py:48-53 +
+get_graph_feature / get_graph_feature_cross, sv_util.py:64-88) and the
+wrapper keeps sv_round2's calling contract (same folded dicts, row-major
+in/out), so the engines switch with one flag.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svnet_tpu.ops.pallas.sv_round2 import (
+    MODES,
+    _BIG,
+    _INT_MIN,
+    _idx_bits,
+    _Q_BITS,
+    _APPROX_L,
+)
+
+EPS = 1e-6
+
+
+# ---------------------------------------------------------------------------
+# channel-major plane packing (XLA side, once per round)
+# ---------------------------------------------------------------------------
+
+
+def _plane_stride_t(C: int) -> int:
+    """Transposed planes live on SUBLANES, whose alignment granule is 8
+    (f32/int32 tile is (8, 128)) — not 64 as in v2's lane-major planes."""
+    return (C + 7) // 8 * 8
+
+
+def pack_planes_exact_t(xT: jax.Array) -> jax.Array:
+    """f32 (B, C, N) channel-major -> int8 (B, 4*stride, N) byte planes.
+
+    Same bit-plane scheme as v2's pack_planes_exact (byte (3-p) of the f32
+    bits, stored as byte-128), transposed: plane p occupies sublane rows
+    [p*stride, p*stride+C). A one-hot int8 matmul planesT @ mask
+    reconstructs f32 columns bit-exactly.
+    """
+    B, C, N = xT.shape
+    P = _plane_stride_t(C)
+    bits = jax.lax.bitcast_convert_type(xT, jnp.uint32)
+    planes = []
+    for p in range(4):
+        byte = jax.lax.shift_right_logical(bits, np.uint32(8 * (3 - p)))
+        byte = byte & np.uint32(0xFF)
+        b8 = (byte.astype(jnp.int32) - 128).astype(jnp.int8)
+        planes.append(
+            jnp.pad(b8, ((0, 0), (0, P - C), (0, 0)), constant_values=np.int8(-128))
+        )
+    return jnp.concatenate(planes, axis=1)
+
+
+def pack_planes_fast_t(xT: jax.Array):
+    """f32 (B, C, N) -> (int8 (B, 2*stride, N) planes, f32 (C, 1) inv).
+
+    Per-channel symmetric int16 fixed-point (v2's pack_planes_fast,
+    transposed): ~2^-15 ABSOLUTE error of the per-channel max.
+    """
+    B, C, N = xT.shape
+    P = _plane_stride_t(C)
+    amax = jnp.max(jnp.abs(xT), axis=(0, 2))  # (C,)
+    scale = jnp.float32(32704.0) / jnp.maximum(amax, 1e-30)
+    q = jnp.round(xT * scale[None, :, None]).astype(jnp.int32)
+    hi = jax.lax.shift_right_arithmetic(q, np.int32(8))
+    lo = q - jax.lax.shift_left(hi, np.int32(8))
+    pad = ((0, 0), (0, P - C), (0, 0))
+    planes = jnp.concatenate(
+        [
+            jnp.pad(hi.astype(jnp.int8), pad),
+            jnp.pad((lo - 128).astype(jnp.int8), pad, constant_values=np.int8(-128)),
+        ],
+        axis=1,
+    )
+    return planes, (1.0 / scale).reshape(C, 1)
+
+
+def _decode_exact_t(g: jax.Array, C: int) -> jax.Array:
+    """int32 (4*stride, T) gathered bit-planes -> f32 (C, T).
+
+    Byte shifts are int32 MULTIPLIES: Mosaic miscompiles shift_left fused
+    after a slice (verified on-chip r2; multiply is exact)."""
+    P = _plane_stride_t(C)
+    g = g + 128
+    bits = g[0:C, :] * np.int32(1 << 24)
+    bits = bits + g[P : P + C, :] * np.int32(1 << 16)
+    bits = bits + g[2 * P : 2 * P + C, :] * np.int32(1 << 8)
+    bits = bits + g[3 * P : 3 * P + C, :]
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
+def _decode_fast_t(g: jax.Array, invT: jax.Array, C: int) -> jax.Array:
+    """int32 (2*stride, T) gathered fixed-point planes -> f32 (C, T)."""
+    P = _plane_stride_t(C)
+    q = g[0:C, :] * np.int32(1 << 8) + (g[P : P + C, :] + 128)
+    return q.astype(jnp.float32) * invT
+
+
+def _decode_ctr_fast_t(cpl: jax.Array, invT: jax.Array, C: int) -> jax.Array:
+    """Centre columns through the same fixed-point path (self-edges cancel)."""
+    P = _plane_stride_t(C)
+    q = cpl[0:C, :].astype(jnp.int32) * np.int32(1 << 8) + (
+        cpl[P : P + C, :].astype(jnp.int32) + 128
+    )
+    return q.astype(jnp.float32) * invT
+
+
+# ---------------------------------------------------------------------------
+# transposed selection helpers — (N, T) keys, reductions along sublanes
+# ---------------------------------------------------------------------------
+
+
+def _sortable_ikey(neg: jax.Array) -> jax.Array:
+    bits = jax.lax.bitcast_convert_type(neg, jnp.int32)
+    return jnp.where(bits < 0, bits ^ np.int32(0x7FFFFFFF), bits)
+
+
+def _packed_key_t(neg: jax.Array, rows: jax.Array, N: int) -> jax.Array:
+    ib = _idx_bits(N)
+    qbits = min(_Q_BITS, 31 - ib)
+    worst = jnp.min(neg)
+    scale = jnp.float32(-(1 << qbits)) / jnp.minimum(worst, -1e-12)
+    q = jnp.floor(neg * scale).astype(jnp.int32)
+    q = jnp.maximum(q, np.int32(-(1 << qbits) + 1))
+    return q * np.int32(1 << ib) + (np.int32((1 << ib) - 1) - rows)
+
+
+def _build_key_t(neg, rows, N, mode):
+    if mode == "exact":
+        return _sortable_ikey(neg)
+    key = _packed_key_t(neg, rows, N)
+    if mode == "approx":
+        w = N
+        while w > _APPROX_L:
+            assert w % 2 == 0, (N, w)
+            w //= 2
+            key = jnp.maximum(key[:w, :], key[w : 2 * w, :])
+    return key
+
+
+def _extract_rank_t(key, m, rows, N, exact):
+    """One neighbour rank: (int8 (N, T) one-hot, updated key, new max)."""
+    if exact:
+        amin = jnp.min(jnp.where(key == m, rows, _BIG), axis=0, keepdims=True)
+        mask = (rows == amin).astype(jnp.int8)
+        key = jnp.where(rows == amin, _INT_MIN, key)
+    else:
+        ib = np.int32(1 << _idx_bits(N))
+        win = (ib - 1) - jnp.remainder(m, ib)
+        mask = (rows == win).astype(jnp.int8)
+        key = jnp.where(key == m, _INT_MIN, key)
+    return mask, key, jnp.max(key, axis=0, keepdims=True)
+
+
+def _zvpu(wzcols, v_e):
+    """Vector2Scalar direction read-out as exact f32 VPU work.
+
+    z[j] (1, L) = sum_c wz[c, j] * v_e[c] — a multiply against the
+    broadcast (2V, 1) weight column and one sublane-tree reduction, instead
+    of a K=2V-padded-to-128 HIGHEST matmul (6 MXU passes). Exact f32 in
+    every mode.
+    """
+    return [
+        jnp.sum(v_e * wzc, axis=0, keepdims=True) for wzc in wzcols
+    ]
+
+
+# ---------------------------------------------------------------------------
+# the conv-round kernel
+# ---------------------------------------------------------------------------
+
+
+def _round3_kernel(
+    src_ref, srcT_ref, planesT_ref, invT_ref, aa_ref,
+    wzc_ref, w1T_ref, betaT_ref,
+    a1T_ref, b1T_ref, w2_ref, scale2T_ref, a2T_ref, b2T_ref,
+    s_out_ref, v_out_ref, ssum_ref,
+    nbr_scratch,
+    *, S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
+    binary: bool, mode: str,
+):
+    C = S + 3 * V
+    twoV = 2 * V
+    exact = mode == "exact"
+    prec = jax.lax.Precision.HIGHEST if exact else None
+
+    src = src_ref[0]  # (N, C) row-major, distance lhs
+    t = pl.program_id(1)
+    ctrT_raw = srcT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (C, T)
+    planesT = planesT_ref[0]  # (PC, N) int8
+    if exact:
+        ctr_g = ctrT_raw  # bit-exact gather: self-edges cancel exactly
+    else:
+        cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
+        ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
+
+    # ---- phase 1: distances + keys, (N, T) ----
+    inner = jax.lax.dot_general(
+        src, ctrT_raw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)  # (1, T)
+    neg = 2.0 * inner - aa_ref[0] - tt
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
+    key = _build_key_t(neg, rows, N, mode)
+    m = jnp.max(key, axis=0, keepdims=True)
+
+    # centre-derived constants, reused across chunks. wz column slices are
+    # 1-lane unaligned reads of a TINY (2V, 3) array — one-vreg shuffles,
+    # hoisted out of the rank loop.
+    wzcols = [wzc_ref[:, j : j + 1] for j in range(3)]  # (2V, 1) each
+    ctr_s = ctr_g[0:S, :] if S else None
+    ctr_v = [ctr_g[S + i * V : S + (i + 1) * V, :] for i in range(3)]
+
+    s_acc = None
+    v_acc = [None, None, None]
+    se_sum = None
+
+    for chunk in range(k // R):
+        # ---- per-rank extract + gather into channel-major scratch ----
+        for r in range(R):
+            mask, key, m = _extract_rank_t(key, m, rows, N, exact)
+            g = jax.lax.dot_general(
+                planesT, mask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (PC, T)
+            nbr = (
+                _decode_exact_t(g, C) if exact else _decode_fast_t(g, invT_ref[:], C)
+            )
+            nbr_scratch[:, r * T : (r + 1) * T] = nbr
+
+        L = R * T
+        nbrT = nbr_scratch[:]  # (C, L)
+        ctr_rep = jnp.tile(ctr_g, (1, R))  # (C, L)
+        e = nbrT - ctr_rep
+
+        # v_e[i]: (2V, L) rows [diff V | ctr V]
+        v_e = [
+            jnp.concatenate(
+                [e[S + i * V : S + (i + 1) * V, :], jnp.tile(ctr_v[i], (1, R))],
+                axis=0,
+            )
+            for i in range(3)
+        ]
+
+        # Vector2Scalar z: exact f32 VPU reduction (see _zvpu)
+        z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j]: (1, L)
+        sv = []
+        for jj in range(3):
+            acc = v_e[0] * z[0][jj]
+            acc = acc + v_e[1] * z[1][jj]
+            acc = acc + v_e[2] * z[2][jj]
+            sv.append(acc)  # (2V, L)
+
+        if S > 0:
+            s_e = jnp.concatenate([e[0:S, :], jnp.tile(ctr_s, (1, R))], axis=0)
+            parts = [s_e] + sv
+            chunk_sum = jnp.sum(s_e, axis=1, keepdims=True)  # (2S, 1)
+            se_sum = chunk_sum if se_sum is None else se_sum + chunk_sum
+        else:
+            parts = sv
+
+        x_cat = jnp.concatenate(parts, axis=0)  # (2S+6V, L)
+        if binary:
+            xq = jnp.sign(x_cat + betaT_ref[:]).astype(jnp.bfloat16)
+            h = jax.lax.dot_general(
+                w1T_ref[:].astype(jnp.bfloat16), xq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (S_out, L); +-1 operands are exact in bf16
+        else:
+            h = jax.lax.dot_general(
+                w1T_ref[:], x_cat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+        y = h * a1T_ref[:] + b1T_ref[:]
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        # svpool max over the chunk's ranks: R lane-aligned (S_out, T) slices
+        for r in range(R):
+            ys = y[:, r * T : (r + 1) * T]
+            s_acc = ys if s_acc is None else jnp.maximum(s_acc, ys)
+
+        # vector stream: linear2 (+scale2) via MXU (V_out x 2V), VectorBN
+        w2 = w2_ref[:]  # (V_out, 2V) pre-transposed
+        wl = [
+            jax.lax.dot_general(
+                w2, v_e[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            * scale2T_ref[:]
+            for i in range(3)
+        ]
+        nsq = wl[0] * wl[0] + wl[1] * wl[1] + wl[2] * wl[2]
+        nrm = jnp.sqrt(nsq) + EPS
+        f = a2T_ref[:] + b2T_ref[:] / nrm
+        for i in range(3):
+            vi = wl[i] * f  # (V_out, L)
+            vsum = vi[:, 0:T]
+            for r in range(1, R):
+                vsum = vsum + vi[:, r * T : (r + 1) * T]
+            v_acc[i] = vsum if v_acc[i] is None else v_acc[i] + vsum
+
+    s_out_ref[0] = s_acc
+    inv_k = jnp.float32(1.0 / k)
+    for i in range(3):
+        v_out_ref[0, V_out * i : V_out * (i + 1), :] = v_acc[i] * inv_k
+    if S > 0:
+        ssum_ref[0, 0] = se_sum
+    else:
+        ssum_ref[0, 0] = jnp.zeros_like(ssum_ref[0, 0])
+
+
+def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
+                  V_out: int, mode: str):
+    """(T, R) under the ~16 MB VMEM budget.
+
+    Live state: ~4 (N, T) i32/f32 selection arrays + (PC, T) gather + fixed
+    (C/PC, N) sources, plus the chunk's (rows, R*T) block intermediates
+    (~4C + 4(2S+6V) + 2S_out + 5V_out rows of f32).
+    """
+    budget = 11 * 1024 * 1024
+    fixed = N * C * 4 * 2 + N * (4 if mode == "exact" else 2) * _plane_stride_t(C)
+    per_t = N * 4 * (5 if mode == "exact" else 4)
+    T = max(64, (budget // 2 - fixed) // max(per_t, 1))
+    p2 = 64
+    while p2 * 2 <= T:
+        p2 *= 2
+    T = p2
+    while N % T:
+        T //= 2
+    T = max(min(T, 512), 8)
+    rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
+    R = max(1, (budget // 2) // max(rows * T * 4, 1))
+    R = min(R, k)
+    while k % R:
+        R -= 1
+    return T, R
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
+                     "mode", "interpret"),
+)
+def sv_round3(
+    src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
+    folded: Dict[str, jax.Array],
+    *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
+    binary: bool = True, mode: str = "exact", interpret: bool = False,
+):
+    """v3 fused round; drop-in contract-compatible with sv_round2.
+
+    Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
+    s_edge_mean (B, 2S)).
+    """
+    assert mode in MODES, mode
+    B, N, _ = src.shape
+    C = S + 3 * V
+    if not T or not R:
+        T0, R0 = _round3_tiles(N, k, C, S, V, S_out, V_out, mode)
+        T = T or T0
+        R = R or R0
+    assert N % T == 0 and k % R == 0, (N, T, k, R)
+    assert mode == "exact" or N <= (1 << 20)
+    exact = mode == "exact"
+
+    srcT = jnp.swapaxes(src, 1, 2)  # (B, C, N)
+    if exact:
+        planesT = pack_planes_exact_t(srcT)
+        invT = jnp.ones((C, 1), jnp.float32)
+        PC = 4 * _plane_stride_t(C)
+    else:
+        planesT, invT = pack_planes_fast_t(srcT)
+        PC = 2 * _plane_stride_t(C)
+    aa = jnp.sum(src * src, axis=2, keepdims=True)  # (B, N, 1)
+
+    # kernel-friendly param orientations (tiny, folded once per call)
+    twoV = 2 * V
+    IN1 = 2 * S + 6 * V
+    wzc = folded["wz"]  # (2V, 3) — columns read as (2V, 1) broadcasts
+    w1T = jnp.swapaxes(folded["w1"], 0, 1)          # (S_out, IN1)
+    betaT = jnp.swapaxes(folded["beta"], 0, 1)      # (IN1, 1)
+    a1T = jnp.swapaxes(folded["a1"], 0, 1)          # (S_out, 1)
+    b1T = jnp.swapaxes(folded["b1"], 0, 1)
+    w2T = jnp.swapaxes(folded["w2"], 0, 1)          # (V_out, 2V)
+    scale2T = jnp.swapaxes(folded["scale2"], 0, 1)  # (V_out, 1)
+    a2T = jnp.swapaxes(folded["a2"], 0, 1)
+    b2T = jnp.swapaxes(folded["b2"], 0, 1)
+
+    const = lambda b, t: (0, 0)
+    s_out, v_out, ssum = pl.pallas_call(
+        functools.partial(
+            _round3_kernel,
+            S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N,
+            binary=binary, mode=mode,
+        ),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, IN1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN1, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, twoV), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max(2 * S, 1), 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, max(2 * S, 1), 1), jnp.float32),
+        ),
+        scratch_shapes=[pltpu.VMEM((C, R * T), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        src, srcT, planesT, invT, aa,
+        wzc, w1T, betaT, a1T, b1T, w2T, scale2T, a2T, b2T,
+    )
+    s_edge_mean = jnp.sum(ssum[:, :, :, 0], axis=1) / (N * k)
+    return (
+        jnp.swapaxes(s_out, 1, 2),
+        jnp.swapaxes(v_out, 1, 2),
+        s_edge_mean,
+    )
+
+
+# ---------------------------------------------------------------------------
+# first-round kernel (coords input, FP block, optional cross channel)
+# ---------------------------------------------------------------------------
+
+
+def _round3_first_kernel(
+    pts_ref, ptsT_ref, planesT_ref, invT_ref, aa_ref,
+    wz0c_ref, wz1c_ref, w1T_ref, a1T_ref, b1T_ref,
+    w2T_ref, a2T_ref, b2T_ref,
+    s_out_ref, v_out_ref, ssum_ref,
+    *, S_out: int, V_out: int, k: int, R: int, T: int, N: int, mode: str,
+    cross: bool,
+):
+    """First fused round, transposed. All quantities are single (1, L) rows
+    (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
+    padded HIGHEST K=2..6 matmuls that dominated v2's first round
+    (PERF.md:99-105) are gone entirely; only w1 (K=6*n_ch) and w2 stay on
+    the MXU.
+    """
+    C = 3
+    n_ch = 3 if cross else 2
+    exact = mode == "exact"
+    prec = jax.lax.Precision.HIGHEST if exact else None
+
+    pts = pts_ref[0]  # (N, 3)
+    t = pl.program_id(1)
+    ctrT_raw = ptsT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (3, T)
+    planesT = planesT_ref[0]
+    if exact:
+        ctr_g = ctrT_raw
+    else:
+        cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
+        ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
+
+    inner = jax.lax.dot_general(
+        pts, ctrT_raw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=prec,
+    )
+    tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)
+    neg = 2.0 * inner - aa_ref[0] - tt
+    rows = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
+    key = _build_key_t(neg, rows, N, mode)
+    m = jnp.max(key, axis=0, keepdims=True)
+
+    wz0cols = [wz0c_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
+    wz1cols = [wz1c_ref[:, j : j + 1] for j in range(3)]
+
+    s_acc = None
+    v_acc = None
+    ss_acc = None
+
+    for chunk in range(k // R):
+        nbr_cols = []
+        for r in range(R):
+            mask, key, m = _extract_rank_t(key, m, rows, N, exact)
+            g = jax.lax.dot_general(
+                planesT, mask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )  # (PC, T)
+            nbr_cols.append(
+                _decode_exact_t(g, C) if exact else _decode_fast_t(g, invT_ref[:], C)
+            )
+        nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L) — tiny, no scratch
+
+        L = R * T
+        ctr_rep = jnp.tile(ctr_g, (1, R))  # (3, L)
+        e = nbrT - ctr_rep
+
+        # v_e[i] rows: [e_i, ctr_i(, cross_i)] — built as (n_ch, L) stacks
+        if cross:
+            nb = [nbrT[i : i + 1, :] for i in range(3)]
+            cg = [ctr_rep[i : i + 1, :] for i in range(3)]
+            cr = [
+                nb[1] * cg[2] - nb[2] * cg[1],
+                nb[2] * cg[0] - nb[0] * cg[2],
+                nb[0] * cg[1] - nb[1] * cg[0],
+            ]
+            v_e = [
+                jnp.concatenate([e[i : i + 1, :], cg[i], cr[i]], axis=0)
+                for i in range(3)
+            ]  # (3, L) x3
+        else:
+            v_e = [
+                jnp.concatenate([e[i : i + 1, :], ctr_rep[i : i + 1, :]], axis=0)
+                for i in range(3)
+            ]  # (2, L) x3
+
+        def pieces(wzcols):
+            z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j] (1, L)
+            out = []
+            for jj in range(3):
+                acc = v_e[0] * z[0][jj]
+                acc = acc + v_e[1] * z[1][jj]
+                acc = acc + v_e[2] * z[2][jj]
+                out.append(acc)  # (n_ch, L)
+            return out
+
+        sva = pieces(wz0cols)
+        svb = pieces(wz1cols)
+
+        # init_scalar partial sums (j-major rows jj*n_ch + c; the wrapper
+        # permutes to the reference's c*3+j order in XLA)
+        chunk_ss = jnp.concatenate(
+            [jnp.sum(sva[jj], axis=1, keepdims=True) for jj in range(3)], axis=0
+        )  # (3*n_ch, 1)
+        ss_acc = chunk_ss if ss_acc is None else ss_acc + chunk_ss
+
+        x_cat = jnp.concatenate(sva + svb, axis=0)  # (6*n_ch, L)
+        h = jax.lax.dot_general(
+            w1T_ref[:], x_cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (S_out, L)
+        y = h * a1T_ref[:] + b1T_ref[:]
+        y = jnp.where(y >= 0, y, 0.2 * y)
+        for r in range(R):
+            ys = y[:, r * T : (r + 1) * T]
+            s_acc = ys if s_acc is None else jnp.maximum(s_acc, ys)
+
+        wl = [
+            jax.lax.dot_general(
+                w2T_ref[:], v_e[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec,
+            )
+            for i in range(3)
+        ]  # (V_out, L)
+        nsq = wl[0] * wl[0] + wl[1] * wl[1] + wl[2] * wl[2]
+        nrm = jnp.sqrt(nsq) + EPS
+        f = a2T_ref[:] + b2T_ref[:] / nrm
+        vcur = []
+        for i in range(3):
+            vi = wl[i] * f
+            vsum = vi[:, 0:T]
+            for r in range(1, R):
+                vsum = vsum + vi[:, r * T : (r + 1) * T]
+            vcur.append(vsum)
+        v_acc = vcur if v_acc is None else [a + b for a, b in zip(v_acc, vcur)]
+
+    s_out_ref[0] = s_acc
+    inv_k = jnp.float32(1.0 / k)
+    for i in range(3):
+        v_out_ref[0, V_out * i : V_out * (i + 1), :] = v_acc[i] * inv_k
+    ssum_ref[0, 0] = ss_acc
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S_out", "V_out", "k", "T", "R", "mode", "cross",
+                     "interpret"),
+)
+def sv_round3_first(
+    points: jax.Array,  # (B, N, 3)
+    folded: Dict[str, jax.Array],
+    *, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
+    mode: str = "exact", cross: bool = False, interpret: bool = False,
+):
+    """v3 fused first round; contract-compatible with sv_round2_first.
+
+    Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
+    s_mean (B, 3*n_ch) in the reference's c*3+j channel order).
+    """
+    assert mode in MODES, mode
+    B, N, _ = points.shape
+    n_ch = 3 if cross else 2
+    if not T or not R:
+        T0, R0 = _round3_tiles(N, k, 3, 0, 1, S_out, V_out, mode)
+        T = T or T0
+        R = R or R0
+    assert N % T == 0 and k % R == 0, (N, T, k, R)
+    exact = mode == "exact"
+
+    ptsT = jnp.swapaxes(points, 1, 2)  # (B, 3, N)
+    if exact:
+        planesT = pack_planes_exact_t(ptsT)
+        invT = jnp.ones((3, 1), jnp.float32)
+        PC = 4 * _plane_stride_t(3)
+    else:
+        planesT, invT = pack_planes_fast_t(ptsT)
+        PC = 2 * _plane_stride_t(3)
+    aa = jnp.sum(points * points, axis=2, keepdims=True)
+
+    w1T = jnp.swapaxes(folded["w1"], 0, 1)  # (S_out, 6*n_ch)
+    a1T = jnp.swapaxes(folded["a1"], 0, 1)
+    b1T = jnp.swapaxes(folded["b1"], 0, 1)
+    w2T = jnp.swapaxes(folded["w2"], 0, 1)  # (V_out, n_ch)
+    a2T = jnp.swapaxes(folded["a2"], 0, 1)
+    b2T = jnp.swapaxes(folded["b2"], 0, 1)
+
+    const = lambda b, t: (0, 0)
+    s_out, v_out, ssum = pl.pallas_call(
+        functools.partial(
+            _round3_first_kernel,
+            S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, mode=mode,
+            cross=cross,
+        ),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 6 * n_ch), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, n_ch), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * n_ch, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 3 * n_ch, 1), jnp.float32),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        points, ptsT, planesT, invT, aa,
+        folded["wz0"], folded["wz1"], w1T, a1T, b1T, w2T, a2T, b2T,
+    )
+    # kernel rows are j-major (jj*n_ch + c); the reference gate consumes
+    # c-major (c*3 + j)
+    perm = jnp.asarray(
+        [jj * n_ch + c for c in range(n_ch) for jj in range(3)], dtype=jnp.int32
+    )
+    s_mean = jnp.sum(ssum[:, :, :, 0], axis=1)[:, perm] / (N * k)
+    return (
+        jnp.swapaxes(s_out, 1, 2),
+        jnp.swapaxes(v_out, 1, 2),
+        s_mean,
+    )
+

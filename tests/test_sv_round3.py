@@ -1,0 +1,99 @@
+"""sv_round3 (v3 transposed fused round) vs sv_round2 — interpret parity.
+
+The v2 kernel is verified against v1 (test_sv_round2) and v1 against the
+flax path (test_infer_engine, test_sv_edge_kernel); v2-vs-v3 parity plus the
+default-suite engine smoke (test_kernel_smoke, which runs the round3 chain
+against model.apply) transfers the whole chain. v3's block math is exact
+f32 VPU work, so even fast mode differs from v2 only by reassociation ulps
+given identical neighbour sets and gathers.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnet_tpu.ops.pallas.sv_round2 import sv_round2, sv_round2_first
+from svnet_tpu.ops.pallas.sv_round3 import (
+    pack_planes_exact_t,
+    sv_round3,
+    sv_round3_first,
+)
+
+B, N, K, T = 2, 128, 8, 32
+S, V, S_out, V_out = 16, 5, 32, 10
+
+
+def _folded(key):
+    ks = jax.random.split(key, 9)
+    return {
+        "wz": jax.random.normal(ks[0], (2 * V, 3)),
+        "w1": jax.random.normal(ks[1], (2 * S + 6 * V, S_out)),
+        "beta": 0.1 * jax.random.normal(ks[2], (1, 2 * S + 6 * V)),
+        "a1": 1.0 + 0.1 * jax.random.normal(ks[3], (1, S_out)),
+        "b1": 0.1 * jax.random.normal(ks[4], (1, S_out)),
+        "w2": jax.random.normal(ks[5], (2 * V, V_out)),
+        "scale2": 1.0 + 0.1 * jax.random.normal(ks[6], (1, V_out)),
+        "a2": 1.0 + 0.1 * jax.random.normal(ks[7], (1, V_out)),
+        "b2": 0.1 * jax.random.normal(ks[8], (1, V_out)),
+    }
+
+
+def _folded_first(key, n_ch=2):
+    ks = jax.random.split(key, 8)
+    return {
+        "wz0": jax.random.normal(ks[0], (n_ch, 3)),
+        "wz1": jax.random.normal(ks[1], (n_ch, 3)),
+        "w1": jax.random.normal(ks[2], (6 * n_ch, S_out)),
+        "a1": 1.0 + 0.1 * jax.random.normal(ks[3], (1, S_out)),
+        "b1": 0.1 * jax.random.normal(ks[4], (1, S_out)),
+        "w2": jax.random.normal(ks[5], (n_ch, V_out)),
+        "a2": 1.0 + 0.1 * jax.random.normal(ks[6], (1, V_out)),
+        "b2": 0.1 * jax.random.normal(ks[7], (1, V_out)),
+    }
+
+
+def test_plane_packing_t_roundtrip_exact():
+    from svnet_tpu.ops.pallas.sv_round3 import _decode_exact_t
+
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 11, 33)) * 123.4
+    planes = pack_planes_exact_t(x).astype(jnp.int32)
+    back = jnp.stack([_decode_exact_t(planes[b], 11) for b in range(2)])
+    assert float(jnp.abs(back - x).max()) == 0.0
+
+
+@pytest.mark.parametrize("mode,binary", [("exact", True), ("exact", False),
+                                         ("fast", True)])
+def test_round3_matches_round2(mode, binary):
+    src = jax.random.normal(jax.random.PRNGKey(0), (B, N, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(1))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, binary=binary,
+              interpret=True)
+    s2, v2, g2 = sv_round2(src, folded, mode=mode, **kw)
+    s3, v3, g3 = sv_round3(src, folded, mode=mode, R=4, **kw)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("cross", [False, True])
+def test_round3_first_matches_round2(cross):
+    pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    folded = _folded_first(jax.random.PRNGKey(1), n_ch=3 if cross else 2)
+    kw = dict(S_out=S_out, V_out=V_out, k=K, T=T, cross=cross, interpret=True)
+    s2, v2, g2 = sv_round2_first(pts, folded, mode="exact", **kw)
+    s3, v3, g3 = sv_round3_first(pts, folded, mode="exact", R=4, **kw)
+    np.testing.assert_allclose(np.asarray(s3), np.asarray(s2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(v3), np.asarray(v2), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(g3), np.asarray(g2), rtol=1e-5, atol=1e-6)
+
+
+def test_round3_approx_shapes_finite():
+    src = jax.random.normal(jax.random.PRNGKey(0), (B, 512, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(1))
+    s, v, g = sv_round3(
+        src, folded, S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
+        binary=True, mode="approx", interpret=True,
+    )
+    assert s.shape == (B, 512, S_out) and v.shape == (B, 512, 3 * V_out)
+    assert np.isfinite(np.asarray(s)).all() and np.isfinite(np.asarray(v)).all()
