@@ -12,3 +12,4 @@ from svnet_tpu.parallel.mesh import (
     replicated,
     shard_params_tp,
 )
+from svnet_tpu.parallel.ring_knn import ring_knn

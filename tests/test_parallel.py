@@ -89,3 +89,38 @@ def test_train_step_decreases_loss():
         state, loss, _ = step(state, batch, jax.random.fold_in(rng, i))
         losses.append(float(loss))
     assert losses[-1] < losses[0], losses
+
+
+def test_ring_knn_matches_single_device():
+    """shard_map + ppermute ring over rotating point shards: neighbour sets
+    equal single-device ops.knn at N=4096/D=8 (VERDICT r2 item 8)."""
+    from svnet_tpu import ops
+    from svnet_tpu.parallel import ring_knn
+
+    mesh = parallel.make_mesh(8, model=1)
+    B, N, C, k = 2, 4096, 8, 20
+    x = jax.random.normal(jax.random.PRNGKey(7), (B, N, C))
+    want = np.asarray(ops.knn(x, k))
+    got = np.asarray(ring_knn(x, k, mesh=mesh, axis_name="data"))
+    assert got.shape == (B, N, k)
+    # set equality per row (order across shard ties is unspecified)
+    same = sum(
+        set(got[b, n]) == set(want[b, n])
+        for b in range(B)
+        for n in range(0, N, 173)
+    )
+    total = sum(1 for _ in range(B) for _ in range(0, N, 173))
+    assert same == total, (same, total)
+
+
+def test_ring_knn_small_exact_order():
+    """At one shard per point block with distinct distances the ring result
+    equals ops.knn exactly (order included)."""
+    from svnet_tpu import ops
+    from svnet_tpu.parallel import ring_knn
+
+    mesh = parallel.make_mesh(4, model=1)
+    x = jax.random.normal(jax.random.PRNGKey(3), (1, 64, 6))
+    want = np.asarray(ops.knn(x, 8))
+    got = np.asarray(ring_knn(x, 8, mesh=mesh, axis_name="data"))
+    np.testing.assert_array_equal(got, want)
