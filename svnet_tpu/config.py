@@ -32,6 +32,7 @@ knn_precision: str = "highest"
 binary_matmul: str = "int8"
 knn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
 edge_gather: str = "auto"  # 'auto' | 'xla' | 'pallas'
+fused_train: str = "auto"  # 'auto' | 'on' | 'off' — fused Pallas train fwd/bwd
 
 
 def set_edge_gather(name: str) -> None:
@@ -63,3 +64,11 @@ def set_binary_matmul(name: str) -> None:
     global binary_matmul
     assert name in ("int8", "f32"), name
     binary_matmul = name
+
+
+def set_fused_train(name: str) -> None:
+    """'auto' (TPU only), 'on', or 'off' — the fused Pallas training
+    forward/backward for the binary SV-DGCNN classifier (train/fused.py)."""
+    global fused_train
+    assert name in ("auto", "on", "off"), name
+    fused_train = name

@@ -361,16 +361,20 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     budget = 11 * 1024 * 1024
     fixed = N * C * 4 * 2 + N * (4 if mode == "exact" else 2) * _plane_stride_t(C)
     per_t = N * 4 * (5 if mode == "exact" else 4)
-    T = max(64, (budget // 2 - fixed) // max(per_t, 1))
-    p2 = 64
+    # Mosaic requires the block's lane dim be a multiple of 128 or the full
+    # array dim: T is either N (small clouds) or a multiple-of-128 divisor
+    T = max(128, (budget // 2 - fixed) // max(per_t, 1) // 128 * 128)
+    p2 = 128
     while p2 * 2 <= T:
         p2 *= 2
     T = p2
-    while N % T:
+    while N % T and T > 128:
         T //= 2
-    T = max(min(T, 512), 8)
+    T = min(T, 512)
+    if N % T:
+        T = N  # N < 128 or not a multiple of 128: whole-cloud tiles
     rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
-    R = max(1, (budget // 2) // max(rows * T * 4, 1))
+    R = max(1, (budget - fixed - per_t * T) // max(rows * T * 4, 1))
     R = min(R, k)
     while k % R:
         R -= 1

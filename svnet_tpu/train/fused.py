@@ -1,0 +1,192 @@
+"""Fused TRAIN-mode forward for SV-DGCNN classification.
+
+Functional twin of ``SV_DGCNN_CLS.apply(..., train=True, mutable=
+['batch_stats'])`` that routes the three binary DGCNN rounds through the
+custom-VJP fused round (ops/pallas/sv_round3_train) — kNN + gather + STE
+SVBlock + pool per round stay in VMEM in forward AND backward, removing
+the (B, N, k, C) HBM edge-tensor traffic that dominated the XLA train
+step. Everything else (first FP round, conv5, SVFuse, head, BN running-
+stats bookkeeping) runs as XLA train twins of the flax layers.
+
+Consumes/produces the EXACT flax trees (params, batch_stats), so
+TrainState, checkpoints and the optimizer see no difference. One
+documented semantic deviation: the k-max pool's subgradient routes to the
+FIRST argmax rank (torch max semantics) instead of jnp.max's equal split
+among exact ties — ties are common under binary sign quantization; both
+are valid subgradients of the same loss.
+
+Verified against the flax path in tests/test_fused_train.py (logits,
+batch-stats updates, src + param gradients, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from svnet_tpu import ops
+from svnet_tpu.nn.sv_layers import EPS, ste_sign
+from svnet_tpu.ops.pallas.sv_round3_train import make_fused_round
+
+BN_MOM = 0.9
+BN_EPS = 1e-5
+
+
+def _bn_train(p, st, x):
+    """torch-BN1d train twin: normalize with biased batch stats over all
+    leading axes; returns (y, new running stats)."""
+    red = tuple(range(x.ndim - 1))
+    mu = jnp.mean(x, axis=red)
+    var = jnp.maximum(jnp.mean(x * x, axis=red) - mu * mu, 0.0)
+    inv = 1.0 / jnp.sqrt(var + BN_EPS)
+    y = (x - mu) * inv * p["scale"] + p["bias"]
+    sg = jax.lax.stop_gradient
+    new = {
+        "mean": BN_MOM * st["mean"] + (1 - BN_MOM) * sg(mu),
+        "var": BN_MOM * st["var"] + (1 - BN_MOM) * sg(var),
+    }
+    return y, new
+
+
+def _stats_update(st, mu, var):
+    sg = jax.lax.stop_gradient
+    return {
+        "mean": BN_MOM * st["mean"] + (1 - BN_MOM) * sg(mu),
+        "var": BN_MOM * st["var"] + (1 - BN_MOM) * sg(var),
+    }
+
+
+def _linear_train(p, x, bw, ba):
+    kernel = p["kernel"]
+    if not bw and not ba:
+        y = x @ kernel
+    else:
+        if ba:
+            x = ste_sign(x + p["beta"])
+        w = ste_sign(kernel) if bw else kernel
+        y = (x @ w) * p["scale"]
+    if "bias" in p:
+        y = y + p["bias"]
+    return y
+
+
+def _v2s_train(p, v, bw):
+    # Vector2Scalar: z = Linear(v) (bw-binarized iff the scale param
+    # exists, i.e. the block is binary), s[..., c, j] = v.z
+    lp = p["linear"]
+    w = ste_sign(lp["kernel"]) if "scale" in lp else lp["kernel"]
+    z = v @ w
+    if "scale" in lp:
+        z = z * lp["scale"]
+    s = sum(v[..., i, :, None] * z[..., i, None, :] for i in range(3))
+    return s.reshape(s.shape[:-2] + (-1,))
+
+
+def _vector_bn_train(p, st, v):
+    nsq = jnp.maximum(jnp.sum(v * v, axis=-2), 1e-12)
+    norm = jnp.sqrt(nsq) + EPS
+    nbn, new = _bn_train(p["bn"], st["bn"], norm)
+    return v / norm[..., None, :] * nbn[..., None, :], {"bn": new}
+
+
+def _svblock_train(p, st, x, binary):
+    """XLA train twin of svl.SVBlock (used for conv1/conv5 where the edge
+    axis is absent or full precision)."""
+    s, v = x
+    B = s.shape[0]
+    s_mean = jnp.mean(s.reshape(B, -1, s.shape[-1]), axis=1)
+    g = jax.nn.relu(s_mean @ p["gate_fc1"]["kernel"])
+    g = jax.nn.sigmoid(g @ p["gate_fc2"]["kernel"])
+    g = g.reshape((B,) + (1,) * (v.ndim - 2) + (g.shape[-1],))
+
+    sv = _v2s_train(p["v2s"], v, binary)
+    s = jnp.concatenate([s, sv], axis=-1)
+    s = _linear_train(p["linear1"], s, binary, binary)
+    s, new1 = _bn_train(p["bn1"]["bn"], st["bn1"]["bn"], s)
+    s = jax.nn.leaky_relu(s, negative_slope=0.2)
+
+    v = _linear_train(p["linear2"], v, binary, False)
+    v, new2 = _vector_bn_train(p["bn2"], st["bn2"], v)
+    return (s, v * g), {"bn1": {"bn": new1}, "bn2": new2}
+
+
+def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
+                           interpret: bool = False):
+    """Returns apply(params, batch_stats, points, dropout_rng) ->
+    (logits, new_batch_stats), the fused twin of SV_DGCNN_CLS train mode.
+
+    Dropout note: the reference uses p=0 for binary models (ref
+    sv_dgcnn_cls.py:27), which is the supported configuration here; the
+    FP model keeps the flax path.
+    """
+    assert binary, "fused train apply currently covers the binary flagship"
+    rounds = {
+        "conv2": (64 // 2, 64 // 6, 64 // 2, 64 // 6),
+        "conv3": (64 // 2, 64 // 6, 128 // 2, 128 // 6),
+        "conv4": (128 // 2, 128 // 6, 256 // 2, 256 // 6),
+    }
+    fused = {
+        name: make_fused_round(S, V, So, Vo, k, binary=True,
+                               interpret=interpret)
+        for name, (S, V, So, Vo) in rounds.items()
+    }
+    SUB = ("v2s", "linear1", "bn1", "linear2", "bn2")
+
+    def apply(params, batch_stats, points, rng=None):
+        p, bs = params, batch_stats
+        B, N = points.shape[0], points.shape[1]
+        new_stats = {}
+
+        # round 1 (FP): coordinate edges + init_scalar + conv1 in XLA
+        v_e = ops.get_graph_feature(points, k=k)  # (B, N, k, 3, 2)
+        s_e = _v2s_train(p["init_scalar"], v_e, False)
+        (s, v), upd = _svblock_train(p["conv1"], bs["conv1"], (s_e, v_e),
+                                     binary=False)
+        new_stats["conv1"] = upd
+        x1 = ops.svpool((s, v))  # max/mean over k
+
+        outs = [x1]
+        for name, (S, V, So, Vo) in rounds.items():
+            s_in, v_in = outs[-1]
+            joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
+            idx = ops.knn(joint, k)  # stop-gradient inside
+            sub = {kk: p[name][kk] for kk in SUB}
+            so, vo_ung, s_mean, (mu1, var1, mun, varn) = fused[name](
+                joint, idx, sub
+            )
+            g = jax.nn.relu(s_mean @ p[name]["gate_fc1"]["kernel"])
+            g = jax.nn.sigmoid(g @ p[name]["gate_fc2"]["kernel"])
+            vo = vo_ung.reshape(B, N, 3, Vo) * g[:, None, None, :]
+            new_stats[name] = {
+                "bn1": {"bn": _stats_update(bs[name]["bn1"]["bn"], mu1, var1)},
+                "bn2": {"bn": _stats_update(bs[name]["bn2"]["bn"], mun, varn)},
+            }
+            outs.append((so, vo))
+
+        s_c = jnp.concatenate([o[0] for o in outs], axis=-1)
+        v_c = jnp.concatenate([o[1] for o in outs], axis=-1)
+
+        (s5, v5), upd5 = _svblock_train(
+            p["conv5"], bs["conv5"], (s_c, v_c), binary=True
+        )
+        new_stats["conv5"] = upd5
+        x = jnp.concatenate(
+            [s5, _v2s_train(p["svfuse"]["v2s"], v5, True)], axis=-1
+        )
+
+        x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)],
+                            axis=-1)
+        x = _linear_train(p["linear1"], x, True, True)
+        x, n1 = _bn_train(p["bn1"]["bn"], bs["bn1"]["bn"], x)
+        new_stats["bn1"] = {"bn": n1}
+        x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        x = _linear_train(p["linear2"], x, True, True)
+        x, n2 = _bn_train(p["bn2"]["bn"], bs["bn2"]["bn"], x)
+        new_stats["bn2"] = {"bn": n2}
+        x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        logits = _linear_train(p["linear3"], x, False, False)
+        return logits, new_stats
+
+    return apply

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from svnet_tpu import models, ops
+from svnet_tpu import config, models, ops
 from svnet_tpu.data import ModelNet40, ScanObjectNNCls, ShapeNetPart, Loader
 from svnet_tpu.train import (
     cal_loss,
@@ -226,12 +226,33 @@ def run_cls(args) -> Optional[float]:
             )
             log_string(f"preloaded weights from {args.preload}")
 
-    # build steps (KD wraps the base step to add the teacher term)
+    # build steps (KD wraps the base step to add the teacher term).
+    # The fused Pallas train forward (train/fused.py) replaces model.apply
+    # for the binary SV-DGCNN flagship (config.fused_train).
+    fused_apply = None
+    if (
+        config.fused_train != "off"
+        and args.model == "svnet"
+        and args.backbone == "dgcnn"
+        and args.binary
+        and (config.fused_train == "on" or jax.default_backend() == "tpu")
+    ):
+        from svnet_tpu.train.fused import make_fused_train_apply
+
+        fused_apply = make_fused_train_apply(
+            num_classes, args.k, binary=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        log_string("fused Pallas train forward enabled")
     if distiller is None:
-        train_step = jax.jit(make_train_step(model, loss_fn, rot=args.rot))
+        train_step = jax.jit(
+            make_train_step(model, loss_fn, rot=args.rot,
+                            fused_apply=fused_apply)
+        )
     else:
         train_step = jax.jit(
-            _make_kd_train_step(model, loss_fn, distiller, rot=args.rot)
+            _make_kd_train_step(model, loss_fn, distiller, rot=args.rot,
+                                fused_apply=fused_apply)
         )
     eval_step = jax.jit(make_eval_step(model, loss_fn, rot_test=args.rot_test))
 
@@ -362,7 +383,7 @@ def _eval_cls(eval_step, state, test_loader, rng, log_string, shard_batch=lambda
 
 
 def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
-                        alpha: float = 0.5):
+                        alpha: float = 0.5, fused_apply=None):
     """Train step with KD: loss = (1-a)·CE + a·KL(teacher || student)."""
 
     def step(state, batch, rng):
@@ -370,20 +391,26 @@ def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
         points = ops.apply_rotation_aug(rot_rng, batch["points"], rot)
 
         def loss_wrapped(params):
-            args_ = (points, batch["label"]) if with_label else (points,)
-            outputs, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                *args_,
-                True,
-                mutable=["batch_stats"],
-                rngs={"dropout": drop_rng},
-            )
+            if fused_apply is not None:
+                outputs, new_stats = fused_apply(
+                    params, state.batch_stats, points, drop_rng
+                )
+            else:
+                args_ = (points, batch["label"]) if with_label else (points,)
+                outputs, updates = model.apply(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    *args_,
+                    True,
+                    mutable=["batch_stats"],
+                    rngs={"dropout": drop_rng},
+                )
+                new_stats = updates["batch_stats"]
             logits = outputs[0] if isinstance(outputs, tuple) else outputs
             ce = base_loss(outputs, batch["target"])
             kd = distiller.loss(
                 logits, points, batch.get("label") if with_label else None
             )
-            return (1 - alpha) * ce + alpha * kd, (outputs, updates["batch_stats"])
+            return (1 - alpha) * ce + alpha * kd, (outputs, new_stats)
 
         (loss, (outputs, new_stats)), grads = jax.value_and_grad(
             loss_wrapped, has_aux=True

@@ -54,12 +54,16 @@ def make_train_step(
     loss_fn: Callable,
     rot: str = "aligned",
     with_label: bool = False,
+    fused_apply: Optional[Callable] = None,
 ):
     """Build a jittable train step.
 
     batch: dict with 'points' (B, N, 3), 'target' (B,) or (B, N), and
     optionally 'label' (B, 16) one-hot category (partseg).
     loss_fn(outputs, target) -> scalar.
+    ``fused_apply(params, batch_stats, points, rng) -> (outputs,
+    new_batch_stats)`` replaces model.apply with the fused Pallas train
+    forward (train/fused.py) when provided.
     """
 
     def step(state: TrainState, batch, rng):
@@ -67,6 +71,12 @@ def make_train_step(
         points = ops.apply_rotation_aug(rot_rng, batch["points"], rot)
 
         def loss_wrapped(params):
+            if fused_apply is not None:
+                outputs, new_stats = fused_apply(
+                    params, state.batch_stats, points, drop_rng
+                )
+                loss = loss_fn(outputs, batch["target"])
+                return loss, (outputs, new_stats)
             args = (points, batch["label"]) if with_label else (points,)
             outputs, updates = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

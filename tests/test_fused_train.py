@@ -1,0 +1,162 @@
+"""Fused differentiable training round vs the flax train path (interpret).
+
+Block-level parity is exact-tolerance (single round: outputs, batch stats,
+src + param grads). Model-level parity uses a flip-tolerant criterion:
+binary STE sign boundaries turn reassociation ulps into isolated +-2
+quantization flips, so a handful of entries may deviate while the
+overwhelming majority must match (a real gradient bug mismatches
+everything — see the dsrc debugging ledger in the module docstring of
+ops/pallas/sv_round3_train.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from svnet_tpu import models, ops
+from svnet_tpu.nn import sv_layers as svl
+from svnet_tpu.ops.pallas.sv_round3_train import make_fused_round
+
+B, N, K = 2, 64, 4
+S, V, S_out, V_out = 8, 5, 16, 10
+SUB = ("v2s", "linear1", "bn1", "linear2", "bn2")
+
+
+def _setup(binary):
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    s = jax.random.normal(ks[0], (B, N, S))
+    v = jax.random.normal(ks[1], (B, N, 3, V))
+    src = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
+    idx = ops.knn(src, K)
+    block = svl.SVBlock(S_out, V_out, binary=binary)
+    s_f, v_f = ops.get_graph_feature_sv((s, v), K, idx=idx)
+    variables = block.init(ks[2], (s_f, v_f), True)
+    cs = jax.random.normal(ks[3], (B, N, S_out))
+    cv = jax.random.normal(ks[4], (B, N, 3, V_out))
+    return src, idx, block, variables, cs, cv
+
+
+@pytest.mark.parametrize("binary", [True, False])
+def test_fused_round_grad_parity(binary):
+    src, idx, block, variables, cs, cv = _setup(binary)
+    params, stats0 = variables["params"], variables["batch_stats"]
+    fused = make_fused_round(S, V, S_out, V_out, K, binary=binary,
+                             interpret=True)
+
+    def ref_loss(params, src):
+        s_, v_ = src[..., :S], src[..., S:].reshape(B, N, 3, V)
+        sf, vf = ops.get_graph_feature_sv((s_, v_), K, idx=idx)
+        (so, vo), upd = block.apply(
+            {"params": params, "batch_stats": stats0}, (sf, vf), True,
+            mutable=["batch_stats"],
+        )
+        # argmax-routed max: torch max semantics (ties -> first index),
+        # matching the kernel; jnp.max splits ties instead
+        am = jnp.argmax(so, axis=2, keepdims=True)
+        so = jnp.take_along_axis(so, am, axis=2)[:, :, 0]
+        vo = jnp.mean(vo, axis=2)
+        loss = jnp.sum(so * cs) + jnp.sum(vo * cv)
+        return loss, (so, vo, upd["batch_stats"])
+
+    def fused_loss(params, src):
+        sub = {k_: params[k_] for k_ in SUB}
+        so, vo_ung, s_mean, stats = fused(src, idx, sub)
+        g = jax.nn.relu(s_mean @ params["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ params["gate_fc2"]["kernel"])
+        vo = vo_ung.reshape(B, N, 3, V_out) * g[:, None, None, :]
+        loss = jnp.sum(so * cs) + jnp.sum(vo * cv)
+        return loss, (so, vo, stats)
+
+    (l1, (so1, vo1, bs1)), g1 = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)(params, src)
+    (l2, (so2, vo2, st2)), g2 = jax.value_and_grad(
+        fused_loss, argnums=(0, 1), has_aux=True)(params, src)
+
+    np.testing.assert_allclose(np.asarray(so2), np.asarray(so1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vo2), np.asarray(vo1),
+                               rtol=2e-4, atol=2e-4)
+    # batch stats: fused returns the raw biased batch stats; flax returns
+    # the running update ra' = m*ra + (1-m)*batch
+    mu1 = st2[0]
+    want = (np.asarray(bs1["bn1"]["bn"]["mean"])
+            - 0.9 * np.asarray(stats0["bn1"]["bn"]["mean"])) / 0.1
+    np.testing.assert_allclose(np.asarray(mu1), want, rtol=1e-3, atol=1e-5)
+    # gradients
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               rtol=2e-3, atol=2e-4)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
+        np.testing.assert_allclose(
+            np.asarray(flat2[path]), np.asarray(leaf), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
+def test_fused_model_apply_parity():
+    from svnet_tpu.train.fused import make_fused_train_apply
+
+    model = models.SV_DGCNN_CLS(num_classes=10, k=K, binary=True)
+    points = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    variables = model.init(jax.random.PRNGKey(1), points)
+    params, bs = variables["params"], variables["batch_stats"]
+    target = jnp.arange(B) % 10
+    onehot = jax.nn.one_hot(target, 10)
+
+    def ref_loss(params, pts):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": bs}, pts, True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return jnp.mean((out - onehot) ** 2), (out, upd["batch_stats"])
+
+    fused_apply = make_fused_train_apply(10, K, binary=True, interpret=True)
+
+    def fused_loss(params, pts):
+        out, new_bs = fused_apply(params, bs, pts)
+        return jnp.mean((out - onehot) ** 2), (out, new_bs)
+
+    (l1, (o1, bs1)), g1 = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)(params, points)
+    (l2, (o2, bs2)), g2 = jax.value_and_grad(
+        fused_loss, argnums=(0, 1), has_aux=True)(params, points)
+
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+    # flip-tolerant: relative Frobenius error per tensor. Isolated STE
+    # sign flips (ulp reassociation at a sign boundary) perturb a few
+    # entries and cascade tiny shifts downstream; a systematic gradient
+    # bug mismatches the whole tensor and blows this metric up.
+    def rel_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6)
+
+    jax.tree.map(
+        lambda a, b: None if rel_err(a, b) <= 2e-2 else (_ for _ in ()).throw(
+            AssertionError(f"stats mismatch {rel_err(a, b)}")),
+        bs2, bs1,
+    )
+    assert rel_err(g2[1], g1[1]) <= 2e-2
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
+    # per-tensor: cosine similarity (flips at the sign/clip boundaries
+    # perturb isolated entries; a wrong formula decorrelates the tensor).
+    # globally: relative error of the whole concatenated gradient.
+    allg1, allg2 = [], []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
+        a = np.asarray(flat2[path]).ravel()
+        b = np.asarray(leaf).ravel()
+        allg1.append(b)
+        allg2.append(a)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        # tiny tensors (the 3-element v2s scales) are dominated by the
+        # flip noise of whatever edges they sum over — the global check
+        # below still covers them
+        if denom > 1e-10 and a.size >= 8:
+            cos = float(np.dot(a, b) / denom)
+            assert cos >= 0.9, (jax.tree_util.keystr(path), cos)
+    a = np.concatenate(allg2)
+    b = np.concatenate(allg1)
+    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2
