@@ -71,6 +71,15 @@ def main():
         "--strict", action="store_true",
         help="fail instead of falling back to the flax engine",
     )
+    ap.add_argument(
+        "--window", type=int, default=0,
+        help="Morton candidate-window width (round3; use with --surface)",
+    )
+    ap.add_argument(
+        "--surface", action="store_true",
+        help="bench on Morton-sorted deformed-sphere surface clouds "
+             "instead of N(0,1) noise (block skipping only helps here)",
+    )
     args = ap.parse_args()
     # task-shape defaults (reference bench shapes: cls N=1024/k=20,
     # partseg N=2048/k=40 — main_cls_dgcnn.py:29, main_partseg_dgcnn.py:26-31)
@@ -86,13 +95,36 @@ def main():
 
     from svnet_tpu import models
 
+    def make_points():
+        if not args.surface:
+            return jax.random.normal(
+                jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
+            )
+        import numpy as np
+
+        from svnet_tpu.ops.pallas.sv_round3 import morton_order
+
+        rng = np.random.default_rng(0)
+        clouds = []
+        for _ in range(args.batch):
+            p = rng.normal(size=(args.num_points, 3))
+            p /= np.linalg.norm(p, axis=1, keepdims=True)
+            for _ in range(3):
+                c = rng.normal(size=3)
+                c /= np.linalg.norm(c)
+                p += 0.15 * np.exp(
+                    -np.sum((p - c) ** 2, 1) / 0.3
+                )[:, None] * (p - c)
+            clouds.append(p.astype(np.float32))
+        pts = jnp.asarray(np.stack(clouds))
+        perm = morton_order(pts)
+        return jnp.take_along_axis(pts, perm[..., None], axis=1)
+
     if args.task == "cls":
         from svnet_tpu.infer import SVDGCNNClsEngine as Engine
 
         model = models.SV_DGCNN_CLS(num_classes=40, k=args.k, binary=True)
-        points = jax.random.normal(
-            jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
-        )
+        points = make_points()
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), points)
         ex_args = (points,)
         flax_fwd = lambda *a: model.apply(variables, a[0], False)
@@ -115,6 +147,7 @@ def main():
             kw = dict(k=args.k, binary=True, mode=mode)
             if args.task == "cls":
                 kw["rounds_impl"] = args.rounds_impl
+                kw["window"] = args.window
             eng = Engine(variables, **kw)
             forward = eng._forward
         else:

@@ -151,8 +151,12 @@ class SVDGCNNClsEngine:
         rounds_impl: str = "round3",
         interpret: bool | None = None,
         mode: str | None = None,
+        window: int = 0,
     ):
-        """``rounds_impl``: 'round3' = v3 transposed (edges-along-lanes)
+        """``window`` (round3 only): Morton candidate-window width for
+        sorted surface clouds — certified block-skipping with exact
+        fallback (sv_round3 docstring).
+        ``rounds_impl``: 'round3' = v3 transposed (edges-along-lanes)
         fused kernel — the fastest; 'round2' = v2 fused kNN+block kernel
         (int8-plane gather, fused selection); 'round' = round-1 kernel;
         'edge' = separate kNN + idx-consuming sv_edge.
@@ -173,6 +177,7 @@ class SVDGCNNClsEngine:
         self.exact = self.mode == "exact"
         self.rounds_impl = rounds_impl
         self.interpret = interpret
+        self.window = window
         # fold fused-round weights once
         self.folded: Dict[str, dict] = {
             name: jax.tree.map(
@@ -227,6 +232,7 @@ class SVDGCNNClsEngine:
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
                 mode=self.mode, interpret=self.interpret,
+                window=self.window,
             )
         elif self.rounds_impl == "round2":
             s1, v1_flat, s_mean = sv_round2_first(
@@ -269,7 +275,7 @@ class SVDGCNNClsEngine:
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k,
                         binary=self.binary, mode=self.mode,
-                        interpret=self.interpret,
+                        interpret=self.interpret, window=self.window,
                     )
                 elif self.rounds_impl == "round2":
                     so, vo, se_mean = sv_round2(

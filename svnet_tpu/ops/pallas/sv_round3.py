@@ -166,12 +166,19 @@ def _packed_key_t(neg: jax.Array, rows: jax.Array, N: int) -> jax.Array:
     return q * np.int32(1 << ib) + (np.int32((1 << ib) - 1) - rows)
 
 
-def _build_key_t(neg, rows, N, mode):
+def _build_key_t(neg, rows, N, mode, W=None, valid=None):
+    """Keys over W candidate rows (W = N for a full scan); packed keys
+    encode ABSOLUTE row ids (from ``rows``), so windowed/compacted
+    selection returns global indices. ``valid`` masks compaction padding
+    to _INT_MIN BEFORE the approx fold can absorb it."""
     if mode == "exact":
-        return _sortable_ikey(neg)
-    key = _packed_key_t(neg, rows, N)
+        key = _sortable_ikey(neg)
+    else:
+        key = _packed_key_t(neg, rows, N)
+    if valid is not None:
+        key = jnp.where(valid, key, _INT_MIN)
     if mode == "approx":
-        w = N
+        w = N if W is None else W
         while w > _APPROX_L:
             assert w % 2 == 0, (N, w)
             w //= 2
@@ -212,38 +219,75 @@ def _zvpu(wzcols, v_e):
 
 
 def _round3_kernel(
-    src_ref, srcT_ref, planesT_ref, invT_ref, aa_ref,
+    src_ref, srcT_ref, planesT_ref, invT_ref, aa_ref, keep_ref,
     wzc_ref, w1T_ref, betaT_ref,
     a1T_ref, b1T_ref, w2_ref, scale2T_ref, a2T_ref, b2T_ref,
     s_out_ref, v_out_ref, ssum_ref,
-    nbr_scratch,
-    *, S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
-    binary: bool, mode: str,
+    nbr_scratch, *cmp_scratch,
+    S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
+    W: int, binary: bool, mode: str,
 ):
     C = S + 3 * V
     twoV = 2 * V
     exact = mode == "exact"
     prec = jax.lax.Precision.HIGHEST if exact else None
 
-    src = src_ref[0]  # (N, C) row-major, distance lhs
     t = pl.program_id(1)
     ctrT_raw = srcT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (C, T)
-    planesT = planesT_ref[0]  # (PC, N) int8
     if exact:
         ctr_g = ctrT_raw  # bit-exact gather: self-edges cancel exactly
     else:
         cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
         ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
 
-    # ---- phase 1: distances + keys, (N, T) ----
+    # ---- phase 1: distances + keys over the candidate rows ----
+    # W == N: full scan. W < N: prepass-certified per-tile block skipping —
+    # kept BS-row blocks are compacted into W-capacity scratch (aligned
+    # dynamic copies), selection/gather run at width W, and absolute row
+    # ids ride along so results match the full scan exactly.
+    if W == N:
+        src_w = src_ref[0]  # (N, C)
+        aa_w = aa_ref[0]
+        planes_w = planesT_ref[0]  # (PC, N) int8
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        valid = None
+    else:
+        src_cmp, planes_cmp, aa_cmp, rows_cmp, cur_ref = cmp_scratch
+        nb = N // BS
+        cur_ref[0] = 0
+        # padding rows must never match a winner id in the gather mask
+        rows_cmp[...] = jnp.full((W, 1), -1, jnp.int32)
+        for bk in range(nb):
+            @pl.when(keep_ref[0, t, bk] > 0)
+            def _(bk=bk):
+                c = cur_ref[0]
+                dst = pl.ds(pl.multiple_of(c * BS, BS), BS)
+                src_cmp[dst, :] = src_ref[0, bk * BS : (bk + 1) * BS, :]
+                planes_cmp[:, dst] = planesT_ref[0, :, bk * BS : (bk + 1) * BS]
+                aa_cmp[dst, :] = aa_ref[0, bk * BS : (bk + 1) * BS, :]
+                rows_cmp[dst, :] = (
+                    jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0) + bk * BS
+                )
+                cur_ref[0] = c + 1
+        cnt = cur_ref[0] * BS
+        src_w = src_cmp[:]
+        aa_w = aa_cmp[:]
+        planes_w = planes_cmp[:]
+        rows = rows_cmp[:]  # (W, 1) absolute ids
+        local = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        valid = local < cnt
     inner = jax.lax.dot_general(
-        src, ctrT_raw, (((1,), (0,)), ((), ())),
+        src_w, ctrT_raw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
     tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)  # (1, T)
-    neg = 2.0 * inner - aa_ref[0] - tt
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
-    key = _build_key_t(neg, rows, N, mode)
+    neg = 2.0 * inner - aa_w - tt
+    if valid is not None:
+        # neutralize garbage rows beyond the compaction cursor (scratch is
+        # uninitialized; 0.0 also keeps the packed-key quantizer's
+        # min(neg) over real candidates only)
+        neg = jnp.where(valid, neg, 0.0)
+    key = _build_key_t(neg, rows, N, mode, W, valid)
     m = jnp.max(key, axis=0, keepdims=True)
 
     # centre-derived constants, reused across chunks. wz column slices are
@@ -262,7 +306,7 @@ def _round3_kernel(
         for r in range(R):
             mask, key, m = _extract_rank_t(key, m, rows, N, exact)
             g = jax.lax.dot_general(
-                planesT, mask, (((1,), (0,)), ((), ())),
+                planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # (PC, T)
             nbr = (
@@ -381,21 +425,97 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     return T, R
 
 
+BS = 128  # Morton block size for window pruning (lane-tile aligned)
+
+
+def morton_order(points: jax.Array, bits: int = 10) -> jax.Array:
+    """(B, N, 3) -> (B, N) int32 permutation sorting points by Morton code.
+
+    Sort once at model entry: all pooling is permutation-invariant (cls)
+    or undone with one take at the end (partseg); every round's window
+    pruning then works on spatially-coherent blocks. ref hot spot:
+    sv_util.py:19-25 (the kNN this accelerates on surface data).
+    """
+    lo = jnp.min(points, axis=1, keepdims=True)
+    hi = jnp.max(points, axis=1, keepdims=True)
+    q = ((points - lo) / jnp.maximum(hi - lo, 1e-9) * ((1 << bits) - 1))
+    q = q.astype(jnp.uint32)
+    code = jnp.zeros(points.shape[:2], jnp.uint32)
+    for b in range(bits):
+        for c in range(3):
+            bit = (q[..., c] >> b) & 1
+            code = code | (bit << (3 * b + c))
+    return jnp.argsort(code, axis=1).astype(jnp.int32)
+
+
+def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
+    """Certify per-tile candidate block sets for exact kNN on (Morton-)
+    sorted clouds.
+
+    tau[b, n] = kth-best negative sqdist within the point's own tile (an
+    upper bound on the true kth distance, the tile having T >= k points);
+    a BS-row source block is prunable for a tile iff EVERY tile point's
+    bbox lower-bound distance to it exceeds tau (strict, so exact ties
+    keep the block). Returns (keep (B, nt, nb) int32 flags, ok — True iff
+    every tile's kept blocks fit the W-row compaction capacity). When ok
+    is False the caller falls back to the full scan: exact results either
+    way, data-dependent speed (PERF.md 'Morton' lever; the win grows with
+    N as the kNN balls shrink relative to the object — measured span
+    stats in PERF.md r3).
+    """
+    B, N, C = src.shape
+    nt, nb = N // T, N // BS
+    # banded tau: kth-best distance among the 128 ROW-neighbours (sorted
+    # order ~ spatial neighbours; Morton-jump points still get one good
+    # side). Rolls wrap at the ends — wrapped candidates are merely extra
+    # members of the candidate set, so tau stays a valid upper bound.
+    # Tile-local tau (the r3 first cut) collapses on jump tiles whose own
+    # points are spatially scattered.
+    band = 128
+    d2s = []
+    for s in range(-band // 2, band // 2):
+        diff = src - jnp.roll(src, s, axis=1)
+        d2s.append(jnp.sum(diff * diff, axis=-1))
+    d2 = jnp.stack(d2s, axis=-1)  # (B, N, band)
+    tau = -jax.lax.top_k(-d2, k)[0][..., k - 1]  # kth smallest dist^2
+
+    xb = src.reshape(B, nb, BS, C)
+    lo = jnp.min(xb, axis=2)  # (B, nb, C)
+    hi = jnp.max(xb, axis=2)
+    d = jnp.maximum(
+        jnp.maximum(lo[:, None] - src[:, :, None], src[:, :, None] - hi[:, None]),
+        0.0,
+    )  # (B, N, nb, C)
+    lb2 = jnp.sum(d * d, axis=-1)  # (B, N, nb)
+    prune_pt = lb2 > tau[:, :, None]  # strict: ties keep the block
+    prune_tile = jnp.all(prune_pt.reshape(B, nt, T, nb), axis=2)  # (B,nt,nb)
+    keep = (~prune_tile).astype(jnp.int32)
+    ok = jnp.all(jnp.sum(keep, axis=-1) * BS <= W)
+    return keep, ok
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
-                     "mode", "interpret"),
+                     "mode", "interpret", "window"),
 )
 def sv_round3(
     src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
     folded: Dict[str, jax.Array],
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     binary: bool = True, mode: str = "exact", interpret: bool = False,
+    window: int = 0,
 ):
     """v3 fused round; drop-in contract-compatible with sv_round2.
 
     Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
     s_edge_mean (B, 2S)).
+
+    ``window`` (0 = off): candidate-window width for Morton-sorted inputs.
+    A certified prepass restricts selection + gather to W source rows per
+    tile with a lax.cond full-scan fallback — exact-mode results are
+    bitwise the full scan's; fast/approx differ only within their own
+    quantization-tie class.
     """
     assert mode in MODES, mode
     B, N, _ = src.shape
@@ -432,48 +552,76 @@ def sv_round3(
     b2T = jnp.swapaxes(folded["b2"], 0, 1)
 
     const = lambda b, t: (0, 0)
-    s_out, v_out, ssum = pl.pallas_call(
-        functools.partial(
-            _round3_kernel,
-            S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N,
-            binary=binary, mode=mode,
-        ),
-        grid=(B, N // T),
-        in_specs=[
-            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, IN1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((IN1, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, twoV), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, max(2 * S, 1), 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, N // T, max(2 * S, 1), 1), jnp.float32),
-        ),
-        scratch_shapes=[pltpu.VMEM((C, R * T), jnp.float32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(
-        src, srcT, planesT, invT, aa,
-        wzc, w1T, betaT, a1T, b1T, w2T, scale2T, a2T, b2T,
-    )
+    nt = N // T
+
+    def call(W, keep):
+        scratch = [pltpu.VMEM((C, R * T), jnp.float32)]
+        if W < N:
+            scratch += [
+                pltpu.VMEM((W, C), jnp.float32),
+                pltpu.VMEM((PC, W), jnp.int8),
+                pltpu.VMEM((W, 1), jnp.float32),
+                pltpu.VMEM((W, 1), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
+        return pl.pallas_call(
+            functools.partial(
+                _round3_kernel,
+                S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W,
+                binary=binary, mode=mode,
+            ),
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nt, keep.shape[2]), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, IN1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((IN1, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, twoV), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, max(2 * S, 1), 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+                jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+                jax.ShapeDtypeStruct((B, nt, max(2 * S, 1), 1), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            src, srcT, planesT, invT, aa, keep,
+            wzc, w1T, betaT, a1T, b1T, w2T, scale2T, a2T, b2T,
+        )
+
+    keep_dummy = jnp.zeros((B, nt, 1), jnp.int32)
+    if window and 0 < window < N:
+        assert window % BS == 0 and window >= T, (window, T)
+        if mode == "approx":
+            assert window % _APPROX_L == 0, window
+        keep, ok = _prune_prepass(src, k, T, window)
+        s_out, v_out, ssum = jax.lax.cond(
+            ok,
+            lambda: call(window, keep),
+            lambda: call(N, keep_dummy),
+        )
+    else:
+        s_out, v_out, ssum = call(N, keep_dummy)
     s_edge_mean = jnp.sum(ssum[:, :, :, 0], axis=1) / (N * k)
     return (
         jnp.swapaxes(s_out, 1, 2),
@@ -488,12 +636,13 @@ def sv_round3(
 
 
 def _round3_first_kernel(
-    pts_ref, ptsT_ref, planesT_ref, invT_ref, aa_ref,
+    pts_ref, ptsT_ref, planesT_ref, invT_ref, aa_ref, keep_ref,
     wz0c_ref, wz1c_ref, w1T_ref, a1T_ref, b1T_ref,
     w2T_ref, a2T_ref, b2T_ref,
     s_out_ref, v_out_ref, ssum_ref,
-    *, S_out: int, V_out: int, k: int, R: int, T: int, N: int, mode: str,
-    cross: bool,
+    *cmp_scratch,
+    S_out: int, V_out: int, k: int, R: int, T: int, N: int, W: int,
+    mode: str, cross: bool,
 ):
     """First fused round, transposed. All quantities are single (1, L) rows
     (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
@@ -506,24 +655,54 @@ def _round3_first_kernel(
     exact = mode == "exact"
     prec = jax.lax.Precision.HIGHEST if exact else None
 
-    pts = pts_ref[0]  # (N, 3)
     t = pl.program_id(1)
     ctrT_raw = ptsT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (3, T)
-    planesT = planesT_ref[0]
     if exact:
         ctr_g = ctrT_raw
     else:
         cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
         ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
 
+    if W == N:
+        pts_w = pts_ref[0]  # (N, 3)
+        aa_w = aa_ref[0]
+        planes_w = planesT_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        valid = None
+    else:
+        pts_cmp, planes_cmp, aa_cmp, rows_cmp, cur_ref = cmp_scratch
+        nb = N // BS
+        cur_ref[0] = 0
+        # padding rows must never match a winner id in the gather mask
+        rows_cmp[...] = jnp.full((W, 1), -1, jnp.int32)
+        for bk in range(nb):
+            @pl.when(keep_ref[0, t, bk] > 0)
+            def _(bk=bk):
+                c = cur_ref[0]
+                dst = pl.ds(pl.multiple_of(c * BS, BS), BS)
+                pts_cmp[dst, :] = pts_ref[0, bk * BS : (bk + 1) * BS, :]
+                planes_cmp[:, dst] = planesT_ref[0, :, bk * BS : (bk + 1) * BS]
+                aa_cmp[dst, :] = aa_ref[0, bk * BS : (bk + 1) * BS, :]
+                rows_cmp[dst, :] = (
+                    jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0) + bk * BS
+                )
+                cur_ref[0] = c + 1
+        cnt = cur_ref[0] * BS
+        pts_w = pts_cmp[:]
+        aa_w = aa_cmp[:]
+        planes_w = planes_cmp[:]
+        rows = rows_cmp[:]
+        local = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
+        valid = local < cnt
     inner = jax.lax.dot_general(
-        pts, ctrT_raw, (((1,), (0,)), ((), ())),
+        pts_w, ctrT_raw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=prec,
     )
     tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)
-    neg = 2.0 * inner - aa_ref[0] - tt
-    rows = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
-    key = _build_key_t(neg, rows, N, mode)
+    neg = 2.0 * inner - aa_w - tt
+    if valid is not None:
+        neg = jnp.where(valid, neg, 0.0)
+    key = _build_key_t(neg, rows, N, mode, W, valid)
     m = jnp.max(key, axis=0, keepdims=True)
 
     wz0cols = [wz0c_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
@@ -538,7 +717,7 @@ def _round3_first_kernel(
         for r in range(R):
             mask, key, m = _extract_rank_t(key, m, rows, N, exact)
             g = jax.lax.dot_general(
-                planesT, mask, (((1,), (0,)), ((), ())),
+                planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # (PC, T)
             nbr_cols.append(
@@ -629,18 +808,20 @@ def _round3_first_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("S_out", "V_out", "k", "T", "R", "mode", "cross",
-                     "interpret"),
+                     "interpret", "window"),
 )
 def sv_round3_first(
     points: jax.Array,  # (B, N, 3)
     folded: Dict[str, jax.Array],
     *, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     mode: str = "exact", cross: bool = False, interpret: bool = False,
+    window: int = 0,
 ):
     """v3 fused first round; contract-compatible with sv_round2_first.
 
     Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
     s_mean (B, 3*n_ch) in the reference's c*3+j channel order).
+    ``window``: see sv_round3 (Morton-sorted candidate windows).
     """
     assert mode in MODES, mode
     B, N, _ = points.shape
@@ -670,46 +851,75 @@ def sv_round3_first(
     b2T = jnp.swapaxes(folded["b2"], 0, 1)
 
     const = lambda b, t: (0, 0)
-    s_out, v_out, ssum = pl.pallas_call(
-        functools.partial(
-            _round3_first_kernel,
-            S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, mode=mode,
-            cross=cross,
-        ),
-        grid=(B, N // T),
-        in_specs=[
-            pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((3, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, 6 * n_ch), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, n_ch), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, 3 * n_ch, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
-            jax.ShapeDtypeStruct((B, N // T, 3 * n_ch, 1), jnp.float32),
-        ),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024
-        ),
-        interpret=interpret,
-    )(
-        points, ptsT, planesT, invT, aa,
-        folded["wz0"], folded["wz1"], w1T, a1T, b1T, w2T, a2T, b2T,
-    )
+    nt = N // T
+
+    def call(W, keep):
+        scratch = []
+        if W < N:
+            scratch = [
+                pltpu.VMEM((W, 3), jnp.float32),
+                pltpu.VMEM((PC, W), jnp.int8),
+                pltpu.VMEM((W, 1), jnp.float32),
+                pltpu.VMEM((W, 1), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
+        return pl.pallas_call(
+            functools.partial(
+                _round3_first_kernel,
+                S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W, mode=mode,
+                cross=cross,
+            ),
+            grid=(B, nt),
+            in_specs=[
+                pl.BlockSpec((1, N, 3), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((3, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, nt, keep.shape[2]), lambda b, t: (b, 0, 0),
+                             memory_space=pltpu.SMEM),
+                pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((n_ch, 3), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, 6 * n_ch), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, n_ch), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, 3 * n_ch, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+                jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+                jax.ShapeDtypeStruct((B, nt, 3 * n_ch, 1), jnp.float32),
+            ),
+            scratch_shapes=scratch,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=110 * 1024 * 1024
+            ),
+            interpret=interpret,
+        )(
+            points, ptsT, planesT, invT, aa, keep,
+            folded["wz0"], folded["wz1"], w1T, a1T, b1T, w2T, a2T, b2T,
+        )
+
+    keep_dummy = jnp.zeros((B, nt, 1), jnp.int32)
+    if window and 0 < window < N:
+        assert window % BS == 0 and window >= T, (window, T)
+        if mode == "approx":
+            assert window % _APPROX_L == 0, window
+        keep, ok = _prune_prepass(points, k, T, window)
+        s_out, v_out, ssum = jax.lax.cond(
+            ok,
+            lambda: call(window, keep),
+            lambda: call(N, keep_dummy),
+        )
+    else:
+        s_out, v_out, ssum = call(N, keep_dummy)
     # kernel rows are j-major (jj*n_ch + c); the reference gate consumes
     # c-major (c*3 + j)
     perm = jnp.asarray(

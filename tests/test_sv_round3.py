@@ -97,3 +97,41 @@ def test_round3_approx_shapes_finite():
     )
     assert s.shape == (B, 512, S_out) and v.shape == (B, 512, 3 * V_out)
     assert np.isfinite(np.asarray(s)).all() and np.isfinite(np.asarray(v)).all()
+
+
+def test_prune_compaction_exact_matches_full():
+    """Morton block-skipping (certified compaction) returns bitwise the
+    full scan's results in exact mode; the uncertified path falls back."""
+    from svnet_tpu.ops.pallas.sv_round3 import (
+        _prune_prepass,
+        morton_order,
+        sv_round3_first,
+    )
+
+    rng = np.random.default_rng(0)
+    p = rng.normal(size=(512, 3)).astype(np.float32)
+    p /= np.linalg.norm(p, axis=1, keepdims=True)
+    pts = jnp.asarray(p)[None]
+    pts = jnp.take_along_axis(pts, morton_order(pts)[..., None], axis=1)
+
+    ks = jax.random.split(jax.random.PRNGKey(1), 8)
+    n_ch = 2
+    ff = {
+        "wz0": jax.random.normal(ks[0], (n_ch, 3)),
+        "wz1": jax.random.normal(ks[1], (n_ch, 3)),
+        "w1": jax.random.normal(ks[2], (6 * n_ch, S_out)),
+        "a1": 1 + 0.1 * jax.random.normal(ks[3], (1, S_out)),
+        "b1": 0.1 * jax.random.normal(ks[4], (1, S_out)),
+        "w2": jax.random.normal(ks[5], (n_ch, V_out)),
+        "a2": 1 + 0.1 * jax.random.normal(ks[6], (1, V_out)),
+        "b2": 0.1 * jax.random.normal(ks[7], (1, V_out)),
+    }
+    kw = dict(S_out=S_out, V_out=V_out, k=4, T=128, R=4, mode="exact",
+              interpret=True)
+    s_full, v_full, g_full = sv_round3_first(pts, ff, **kw)
+    # W=384: certified on this cloud (kept max fits); W=128: falls back
+    for W in (384, 128):
+        s_w, v_w, g_w = sv_round3_first(pts, ff, window=W, **kw)
+        np.testing.assert_array_equal(np.asarray(s_w), np.asarray(s_full))
+        np.testing.assert_array_equal(np.asarray(v_w), np.asarray(v_full))
+        np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_full))
