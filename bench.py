@@ -65,7 +65,7 @@ def main():
     )
     ap.add_argument(
         "--rounds-impl", choices=["round3", "round2", "round", "edge"],
-        default="round2",
+        default="round3",
     )
     ap.add_argument(
         "--strict", action="store_true",
@@ -132,9 +132,7 @@ def main():
         from svnet_tpu.infer import SVDGCNNPsegEngine as Engine
 
         model = models.SV_DGCNN_PSEG(num_part=50, k=args.k, binary=True)
-        points = jax.random.normal(
-            jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
-        )
+        points = make_points()
         label = jax.nn.one_hot(
             jnp.arange(args.batch) % 16, 16, dtype=jnp.float32
         )
@@ -144,10 +142,10 @@ def main():
 
     def make_timed(engine_kind, mode):
         if engine_kind == "fused":
-            kw = dict(k=args.k, binary=True, mode=mode)
-            if args.task == "cls":
-                kw["rounds_impl"] = args.rounds_impl
-                kw["window"] = args.window
+            kw = dict(
+                k=args.k, binary=True, mode=mode,
+                rounds_impl=args.rounds_impl, window=args.window,
+            )
             eng = Engine(variables, **kw)
             forward = eng._forward
         else:

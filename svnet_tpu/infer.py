@@ -366,6 +366,7 @@ class SVDGCNNPsegEngine:
         interpret: bool | None = None,
         mode: str | None = None,
         rounds_impl: str = "round3",
+        window: int = 0,
     ):
         if interpret is None:
             interpret = jax.default_backend() not in ("tpu",)
@@ -378,6 +379,7 @@ class SVDGCNNPsegEngine:
         self.exact = self.mode == "exact"
         self.interpret = interpret
         self.rounds_impl = rounds_impl
+        self.window = window
 
         self.dims = {
             "conv1": (_V(32), _V(10)),
@@ -437,6 +439,7 @@ class SVDGCNNPsegEngine:
                 points, self.folded_first,
                 S_out=s1_dim, V_out=v1_dim, k=k,
                 mode=self.mode, interpret=self.interpret,
+                window=self.window,
             )
         else:
             s1, v1_flat, s_mean = sv_round2_first(
@@ -458,6 +461,7 @@ class SVDGCNNPsegEngine:
                     joint, self.folded[name],
                     S=S, V=V, S_out=S_out, V_out=V_out, k=k,
                     binary=binary, mode=self.mode, interpret=self.interpret,
+                    window=self.window,
                 )
             else:
                 so, vo, se_mean = sv_round2(
@@ -666,3 +670,168 @@ class SVPointNetClsEngine:
 
     def __call__(self, points: jax.Array) -> jax.Array:
         return self._jit_forward(points)
+
+
+class SVPointNetPsegEngine:
+    """Fused eval engine for SV-PointNet part segmentation.
+
+    ref sv_pointnet_partseg.py:12-97. One fused first round (cross-product
+    edge features + conv_pos + pool over k via sv_round3_first(cross=True)),
+    every per-point SVBlock (conv1-5, the SV_STNkd trunk/fc stack) through
+    the sv_block_point kernel, and the SVFuse(trans_back) read-out, frame
+    un-projection, conv_fuse bottleneck and pointwise head in XLA (binary
+    matmuls ride the int8 MXU path).
+    """
+
+    def __init__(
+        self,
+        variables: dict,
+        num_part: int = 50,
+        k: int = 40,
+        binary: bool = True,
+        tile: int = 256,
+        exact: bool = True,
+        interpret: bool | None = None,
+        mode: str | None = None,
+    ):
+        from svnet_tpu.ops.pallas.sv_block_point import (
+            fold_point_like_params,
+            sv_block_point,
+        )
+
+        if interpret is None:
+            interpret = jax.default_backend() not in ("tpu",)
+        self.p = variables["params"]
+        self.bs = variables["batch_stats"]
+        self.k = k
+        self.binary = binary
+        self.tile = tile
+        self.mode = mode if mode is not None else ("exact" if exact else "fast")
+        self.exact = self.mode == "exact"
+        self.interpret = interpret
+        self._block = sv_block_point
+
+        p, bs = self.p, self.bs
+        self.folded_first = jax.tree.map(
+            jnp.asarray,
+            fold_first_params(
+                p["init_scalar"], p["conv_pos"], bs["conv_pos"], n_ch=3
+            ),
+        )
+        # per-point blocks: name -> (S_in, V_in, S_out, V_out)
+        specs = {
+            "conv1": (32, 10, 32, 10),
+            "conv2": (32, 10, 64, 21),
+            "conv3": (64, 21, 64, 21),
+            "fstn/conv1": (64, 21, 32, 10),
+            "fstn/conv2": (32, 10, 64, 21),
+            "fstn/conv3": (64, 21, 512, 170),
+            "conv4": (128, 42, 256, 85),
+            "conv5": (256, 85, 1024, 341),
+        }
+        self.blocks = {}
+        for name, (S, V, So, Vo) in specs.items():
+            node_p, node_bs = p, bs
+            for seg in name.split("/"):
+                node_p = node_p[seg]
+                node_bs = node_bs[seg]
+            self.blocks[name] = (
+                (S, V, So, Vo),
+                jax.tree.map(
+                    jnp.asarray,
+                    fold_point_like_params(node_p, node_bs, S, V, binary),
+                ),
+                node_p,
+            )
+        self._jit_forward = jax.jit(self._forward)
+
+    def _run_block(self, name, s, v):
+        (S, V, So, Vo), folded, node_p = self.blocks[name]
+        B, N = s.shape[0], s.shape[1]
+        g = jnp.mean(s, axis=1)
+        g = jax.nn.relu(g @ node_p["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ node_p["gate_fc2"]["kernel"])
+        src = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
+        so, vo = self._block(
+            src, g, folded, S=S, V=V, S_out=So, V_out=Vo,
+            T=min(self.tile, N), binary=self.binary, exact=self.exact,
+            interpret=self.interpret,
+        )
+        return so, vo.reshape(B, N, 3, Vo)
+
+    def _conv_bn_relu(self, name, x):
+        p, bs = self.p, self.bs
+        x = _linear_eval(p[f"{name}_conv"], x, self.binary, self.binary)
+        x = _bn_eval(p[f"{name}_bn"]["bn"], bs[f"{name}_bn"]["bn"], x)
+        return jax.nn.relu(x)
+
+    def _forward(self, points: jax.Array, label: jax.Array) -> jax.Array:
+        from svnet_tpu.ops.pallas.sv_round3 import sv_round3_first
+
+        p, bs, k = self.p, self.bs, self.k
+        B, N = points.shape[0], points.shape[1]
+        binary = self.binary
+
+        s0, v0_flat, s_mean = sv_round3_first(
+            points, self.folded_first,
+            S_out=32, V_out=10, k=k,
+            mode=self.mode, cross=True, interpret=self.interpret,
+        )
+        g = jax.nn.relu(s_mean @ p["conv_pos"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ p["conv_pos"]["gate_fc2"]["kernel"])
+        v0 = v0_flat.reshape(B, N, 3, 10) * g[:, None, None, :]
+
+        s1, v1 = self._run_block("conv1", s0, v0)
+        s2, v2 = self._run_block("conv2", s1, v1)
+        s3, v3 = self._run_block("conv3", s2, v2)
+
+        # SV_STNkd global token
+        ts, tv = self._run_block("fstn/conv1", s3, v3)
+        ts, tv = self._run_block("fstn/conv2", ts, tv)
+        ts, tv = self._run_block("fstn/conv3", ts, tv)
+        tok_s, tok_v = ops.svpool((ts, tv), axis=1)  # (B, 512), (B, 3, 170)
+        tok_s, tok_v = tok_s[:, None], tok_v[:, None]
+        # (B, 1) token path stays in XLA — tiny
+        fstn_p, fstn_bs = p["fstn"], bs["fstn"]
+        for fc in ("fc1", "fc2", "fc3"):
+            tok_s, tok_v = _svblock_eval(
+                fstn_p[fc], fstn_bs[fc], tok_s, tok_v, binary
+            )
+        s = jnp.concatenate([s3, jnp.broadcast_to(tok_s, s3.shape)], axis=-1)
+        v = jnp.concatenate([v3, jnp.broadcast_to(tok_v, v3.shape)], axis=-1)
+
+        s4, v4 = self._run_block("conv4", s, v)
+        s5, v5 = self._run_block("conv5", s4, v4)
+
+        sm = jnp.mean(s5, axis=1, keepdims=True)
+        vm = jnp.mean(v5, axis=1, keepdims=True)
+        s = jnp.concatenate([s5, jnp.broadcast_to(sm, s5.shape)], axis=-1)
+        v = jnp.concatenate([v5, jnp.broadcast_to(vm, v5.shape)], axis=-1)
+
+        # SVFuse(trans_back): invariant read-out + learned frame
+        lp = p["svfuse"]["v2s"]["linear"]
+        w = jnp.sign(lp["kernel"]) if binary else lp["kernel"]
+        trans = v @ w
+        if "scale" in lp:
+            trans = trans * lp["scale"]
+        sv = jnp.einsum("bnic,bnij->bncj", v, trans)
+        x = jnp.concatenate([s, sv.reshape(B, N, -1)], axis=-1)
+
+        x = self._conv_bn_relu("conv_fuse1", x)
+        x = self._conv_bn_relu("conv_fuse2", x)
+        x = jnp.mean(x, axis=1) if binary else jnp.max(x, axis=1)
+
+        x_l = jnp.concatenate([x, label], axis=-1)
+        x_l = jnp.broadcast_to(x_l[:, None, :], (B, N, x_l.shape[-1]))
+
+        cs = jnp.concatenate([s1, s2, s3, s4, s5], axis=-1)
+        cv = jnp.concatenate([v1, v2, v3, v4, v5], axis=-1)
+        concat_v = jnp.einsum("bnic,bnik->bnck", cv, trans).reshape(B, N, -1)
+        net = jnp.concatenate([x_l, cs, concat_v], axis=-1)
+
+        for name in ("convs1", "convs2", "convs3"):
+            net = self._conv_bn_relu(name, net)
+        return _linear_eval(p["convs4"], net, False, False)
+
+    def __call__(self, points: jax.Array, label: jax.Array) -> jax.Array:
+        return self._jit_forward(points, label)

@@ -36,6 +36,15 @@ def param_count_m(params) -> float:
     return sum(x.size for x in jax.tree.leaves(params)) / 1e6
 
 
+def _weighted_loss(losses, counts) -> float:
+    """Count-weighted mean of per-step device loss scalars, fetched in ONE
+    device round trip (a float() per step costs a full dispatch-fetch sync
+    — ≈26 ms each through the axon tunnel — and defeats async dispatch)."""
+    w = jnp.asarray(counts, jnp.float32)
+    return float(jnp.stack([jnp.asarray(l, jnp.float32) for l in losses]) @ w
+                 / jnp.sum(w))
+
+
 def _pick_loss(model_name: str):
     """T-Net models return (logits, trans_feat) and use the regularized loss
     (ref main_cls_pointnet.py:97-103)."""
@@ -312,18 +321,23 @@ def run_cls(args) -> Optional[float]:
                 log_string(f"profiler trace written to {args.profile_dir}")
                 continue
             state, loss, preds = train_step(state, jb, step_rng)
-            losses.append(float(loss) * batch["size"])
+            # keep loss/preds on device: a float()/np.asarray() here costs a
+            # full dispatch-fetch sync per step (≈26 ms through the axon
+            # tunnel) and serializes JAX's async dispatch; fetch lazily at
+            # print points and convert once per epoch.
+            losses.append(loss)
             counts.append(batch["size"])
             train_true.append(batch["target"])
-            train_pred.append(np.asarray(preds))
+            train_pred.append(preds)
             if (i + 1) % print_freq == 0:
+                run_loss = _weighted_loss(losses, counts)
                 log_string(
                     f"EPOCH {epoch:03d}/{args.epochs:03d} Batch {i:05d}/"
-                    f"{len(train_loader):05d}: Loss {sum(losses)/sum(counts):.8f}"
+                    f"{len(train_loader):05d}: Loss {run_loss:.8f}"
                 )
         train_true = np.concatenate(train_true)
-        train_pred = np.concatenate(train_pred)
-        train_loss = sum(losses) / sum(counts)
+        train_pred = np.concatenate(jax.device_get(train_pred))
+        train_loss = _weighted_loss(losses, counts)
         train_acc = accuracy(train_true, train_pred)
         train_avg = balanced_accuracy(train_true, train_pred)
         log_string(
@@ -369,13 +383,15 @@ def _eval_cls(eval_step, state, test_loader, rng, log_string, shard_batch=lambda
         })
         loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
         size = batch["size"]
-        losses.append(float(loss) * size)
+        losses.append(loss)
         counts.append(size)
         test_true.append(batch["target"][:size])
-        test_pred.append(np.asarray(preds)[:size])
+        test_pred.append((preds, size))
     test_true = np.concatenate(test_true)
-    test_pred = np.concatenate(test_pred)
-    test_loss = sum(losses) / sum(counts)
+    test_pred = np.concatenate(
+        [np.asarray(p)[:s] for p, s in jax.device_get(test_pred)]
+    )
+    test_loss = _weighted_loss(losses, counts)
     acc = accuracy(test_true, test_pred)
     avg = balanced_accuracy(test_true, test_pred)
     log_string(f"TEST: loss {test_loss:.6f}, acc {acc:.6f}, avg acc {avg:.6f}")
@@ -612,17 +628,20 @@ def run_partseg(args) -> Optional[float]:
                 "label": jnp.asarray(batch["label"]),
             })
             state, loss, preds = train_step(state, jb, step_rng)
-            losses.append(float(loss) * batch["size"])
+            # device-resident accumulation: see the cls loop / _weighted_loss
+            losses.append(loss)
             counts.append(batch["size"])
-            accs.append(float((np.asarray(preds) == batch["seg"]).mean()))
+            accs.append(jnp.mean(preds == jb["target"]))
             if (i + 1) % print_freq == 0:
+                run_loss = _weighted_loss(losses, counts)
                 log_string(
                     f"EPOCH {epoch:03d}/{args.epochs:03d} Batch {i:05d}/"
-                    f"{len(train_loader):05d}: Loss {sum(losses)/sum(counts):.8f}"
+                    f"{len(train_loader):05d}: Loss {run_loss:.8f}"
                 )
-        train_loss = sum(losses) / sum(counts)
+        train_loss = _weighted_loss(losses, counts)
+        train_pacc = float(jnp.mean(jnp.stack(accs)))
         log_string(
-            f"TRAIN: loss {train_loss:.6f}, point acc {np.mean(accs):.6f} "
+            f"TRAIN: loss {train_loss:.6f}, point acc {train_pacc:.6f} "
             f"({time.time()-t0:.1f}s)"
         )
 
@@ -665,18 +684,20 @@ def _eval_pseg(eval_step, state, test_loader, rng, log_string, shard_batch=lambd
         })
         loss, preds = eval_step(state.params, state.batch_stats, jb, step_rng)
         size = batch["size"]
-        losses.append(float(loss) * size)
+        losses.append(loss)
         counts.append(size)
-        all_pred.append(np.asarray(preds)[:size])
+        all_pred.append((preds, size))
         all_seg.append(batch["seg"][:size])
         all_cat.append(batch["category"][:size])
-    pred = np.concatenate(all_pred)
+    pred = np.concatenate(
+        [np.asarray(p)[:s] for p, s in jax.device_get(all_pred)]
+    )
     seg = np.concatenate(all_seg)
     cat = np.concatenate(all_cat)
     ious = shape_iou(pred, seg, cat)
     iou = float(np.mean(ious))
     acc = float((pred == seg).mean())
-    loss = sum(losses) / sum(counts)
+    loss = _weighted_loss(losses, counts)
     log_string(f"TEST: loss {loss:.6f}, iou {iou:.6f}, point acc {acc:.6f}")
     return iou, acc, loss
 
@@ -774,11 +795,13 @@ def run_semseg(args) -> Optional[float]:
             })
             loss, pr = eval_step(state.params, state.batch_stats, jb, sk)
             size = batch["size"]
-            losses.append(float(loss) * size)
+            losses.append(loss)
             counts.append(size)
-            preds.append(np.asarray(pr)[:size])
+            preds.append((pr, size))
             segs.append(batch["target"][:size])
-        pred = np.concatenate(preds)
+        pred = np.concatenate(
+            [np.asarray(p)[:s] for p, s in jax.device_get(preds)]
+        )
         seg = np.concatenate(segs)
         acc = float((pred == seg).mean())
         # mean IoU over the 13 classes present in the ground truth
@@ -788,7 +811,7 @@ def run_semseg(args) -> Optional[float]:
             union = np.logical_or(pred == c, seg == c).sum()
             ious.append(inter / union if union else 1.0)
         miou = float(np.mean(ious))
-        loss = sum(losses) / sum(counts)
+        loss = _weighted_loss(losses, counts)
         log_string(f"TEST: loss {loss:.6f}, point acc {acc:.6f}, mIoU {miou:.6f}")
         return acc, miou, loss
 
@@ -807,9 +830,11 @@ def run_semseg(args) -> Optional[float]:
                 "target": jnp.asarray(batch["target"]),
             })
             state, loss, _ = train_step(state, jb, sk)
-            losses.append(float(loss) * batch["size"])
+            losses.append(loss)
             counts.append(batch["size"])
-        train_loss = sum(losses) / max(sum(counts), 1)
+        train_loss = (
+            _weighted_loss(losses, counts) if counts else 0.0
+        )
         log_string(f"TRAIN: loss {train_loss:.6f} ({time.time()-t0:.1f}s)")
         rng, ek = jax.random.split(rng)
         acc, miou, test_loss = evaluate(ek)
