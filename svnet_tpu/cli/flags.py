@@ -65,6 +65,10 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
                    help="initialize weights from a checkpoint (KD teacher)")
     p.add_argument("--distill", action="store_true",
                    help="KD: train against the frozen --preload teacher")
+    p.add_argument("--kd-t", type=float, default=4.0,
+                   help="KD softmax temperature (Hinton T)")
+    p.add_argument("--kd-alpha", type=float, default=0.5,
+                   help="KD loss mix: (1-a)*CE + a*T^2-scaled soft-CE")
     p.add_argument("--profile-dir", metavar="DIR", default=None,
                    help="write a jax.profiler trace of a few train steps")
     p.add_argument("--debug-nans", action="store_true",

@@ -52,20 +52,25 @@ def pack_signs(x: jax.Array) -> jax.Array:
     return jnp.sum(bits << shifts, axis=-1).astype(jnp.int32)
 
 
-def _xnor_kernel(xp_ref, wp_ref, out_ref, *, K: int, TN: int):
+def _xnor_kernel(xpT_ref, wpT_ref, out_ref, *, K: int):
     """out[m, n] = K - 2 * popcount(xp[m] ^ wp[n]).
 
-    xp: (TM, K/32) packed rows; wp: (TN, K/32) packed columns (w transposed).
-    The n-loop is unrolled: per output column one xor + popcount + reduce
-    over the packed lanes on the VPU.
+    xpT: (K/32, TM) packed rows transposed; wpT: (K/32, N) packed columns.
+    Loop over packed lanes j, broadcasting (TM, 1) ^ (1, N) into one
+    (TM, N) popcount accumulator — VMEM stays O(TM*N), not O(TM*K*N/32)
+    (the column-unrolled variant stack-OOM'd on-chip at 62 MB scoped).
     """
-    xp = xp_ref[:]
-    cols = []
-    for n in range(TN):
-        w_row = wp_ref[n, :][None, :]  # (1, K/32)
-        x = jax.lax.population_count(xp ^ w_row)  # (TM, K/32)
-        cols.append(jnp.float32(K) - 2.0 * jnp.sum(x, axis=1, keepdims=True).astype(jnp.float32))
-    out_ref[:] = jnp.concatenate(cols, axis=1)
+    TM = out_ref.shape[0]
+    N = out_ref.shape[1]
+    L = xpT_ref.shape[0]  # K / 32 packed lanes
+
+    def body(j, acc):
+        xcol = xpT_ref[j, :].reshape(TM, 1)
+        wrow = wpT_ref[j, :].reshape(1, N)
+        return acc + jax.lax.population_count(xcol ^ wrow)
+
+    acc = jax.lax.fori_loop(0, L, body, jnp.zeros((TM, N), jnp.int32))
+    out_ref[:] = jnp.float32(K) - 2.0 * acc.astype(jnp.float32)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -78,19 +83,19 @@ def xnor_popcount_matmul(
     """
     M, K = x.shape
     N = w.shape[1]
-    xp = pack_signs(x)
-    wp = pack_signs(w.T)
+    xpT = pack_signs(x).T  # (K/32, M): lane j is a contiguous sublane row
+    wpT = pack_signs(w.T).T  # (K/32, N)
     TM = min(M, 256)
     while M % TM:  # largest divisor of M up to 256, so any M works
         TM -= 1
     return pl.pallas_call(
-        functools.partial(_xnor_kernel, K=K, TN=N),
+        functools.partial(_xnor_kernel, K=K),
         grid=(M // TM,),
         in_specs=[
-            pl.BlockSpec((TM, K // 32), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((N, K // 32), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 32, TM), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((K // 32, N), lambda i: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TM, N), lambda i: (i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((M, N), jnp.float32),
         interpret=interpret,
-    )(xp, wp)
+    )(xpT, wpT)

@@ -227,8 +227,12 @@ def run_cls(args) -> Optional[float]:
                 teacher_model,
                 {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
                 with_label=False,
+                temperature=getattr(args, "kd_t", 4.0),
             )
-            log_string(f"KD teacher loaded from {args.preload}")
+            log_string(
+                f"KD teacher loaded from {args.preload} "
+                f"(T={distiller.T}, alpha={getattr(args, 'kd_alpha', 0.5)})"
+            )
         else:
             state = state.replace(
                 params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
@@ -261,6 +265,7 @@ def run_cls(args) -> Optional[float]:
     else:
         train_step = jax.jit(
             _make_kd_train_step(model, loss_fn, distiller, rot=args.rot,
+                                alpha=getattr(args, "kd_alpha", 0.5),
                                 fused_apply=fused_apply)
         )
     eval_step = jax.jit(make_eval_step(model, loss_fn, rot_test=args.rot_test))
@@ -554,8 +559,12 @@ def run_partseg(args) -> Optional[float]:
                 teacher_model,
                 {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
                 with_label=True,
+                temperature=getattr(args, "kd_t", 4.0),
             )
-            log_string(f"KD teacher loaded from {args.preload}")
+            log_string(
+                f"KD teacher loaded from {args.preload} "
+                f"(T={distiller.T}, alpha={getattr(args, 'kd_alpha', 0.5)})"
+            )
         else:
             state = state.replace(
                 params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
@@ -569,7 +578,8 @@ def run_partseg(args) -> Optional[float]:
     else:
         train_step = jax.jit(
             _make_kd_train_step(
-                model, seg_loss, distiller, rot=args.rot, with_label=True
+                model, seg_loss, distiller, rot=args.rot, with_label=True,
+                alpha=getattr(args, "kd_alpha", 0.5),
             )
         )
     eval_step = jax.jit(

@@ -5,6 +5,7 @@ single-device results."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from svnet_tpu import models, parallel
 from svnet_tpu.train import cal_loss, make_optimizer
@@ -36,6 +37,9 @@ def _setup(mesh=None, B=8, N=32, k=4, binary=True):
     return model, state, batch
 
 
+@pytest.mark.slow  # ~5 min on the 1-CPU box, and the driver runs
+# dryrun_multichip(8) itself every round (MULTICHIP_r0N.json) — the
+# default suite keeps the smaller sharded-step/ring-kNN tests below
 def test_dryrun_multichip_contract():
     import sys
 
