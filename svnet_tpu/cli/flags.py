@@ -69,6 +69,9 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
                    help="KD softmax temperature (Hinton T)")
     p.add_argument("--kd-alpha", type=float, default=0.5,
                    help="KD loss mix: (1-a)*CE + a*T^2-scaled soft-CE")
+    p.add_argument("--no-kd-init", dest="kd_init", action="store_false",
+                   help="do NOT initialize the student from the teacher "
+                        "(default: overlapping leaves are copied)")
     p.add_argument("--profile-dir", metavar="DIR", default=None,
                    help="write a jax.profiler trace of a few train steps")
     p.add_argument("--debug-nans", action="store_true",

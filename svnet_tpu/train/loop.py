@@ -101,6 +101,27 @@ class _Distiller:
         return -(p_t * log_p_s).sum(axis=-1).mean() * (T * T)
 
 
+def _merge_overlap(student, teacher):
+    """Copy teacher leaves into the student tree where path+shape match.
+
+    The binary student's tree is the FP teacher's plus binarization extras
+    (beta / scale leaves) — those keep their fresh init. Used to start the
+    KD student at the teacher (the BiPointNet-style recipe the reference's
+    `*_kd_*` checkpoints imply; its training code is not shipped —
+    /root/reference/scripts.sh:54-55 evals them only)."""
+    from flax import traverse_util
+
+    s = traverse_util.flatten_dict(student)
+    t = traverse_util.flatten_dict(teacher)
+    hits = 0
+    for key, val in s.items():
+        t_val = t.get(key)
+        if t_val is not None and t_val.shape == val.shape:
+            s[key] = t_val.astype(val.dtype)
+            hits += 1
+    return traverse_util.unflatten_dict(s), hits, len(s)
+
+
 def _setup_mesh(args, state):
     """Data-parallel mesh (--dp): replicate the state, return a batch
     sharding function. The TPU-native upgrade of the reference's
@@ -233,6 +254,16 @@ def run_cls(args) -> Optional[float]:
                 f"KD teacher loaded from {args.preload} "
                 f"(T={distiller.T}, alpha={getattr(args, 'kd_alpha', 0.5)})"
             )
+            if getattr(args, "kd_init", True):
+                new_p, hp, tp = _merge_overlap(state.params, t_ckpt["params"])
+                new_b, hb, tb = _merge_overlap(
+                    state.batch_stats, t_ckpt["batch_stats"]
+                )
+                state = state.replace(params=new_p, batch_stats=new_b)
+                log_string(
+                    f"KD student initialized from teacher "
+                    f"({hp}/{tp} params, {hb}/{tb} batch_stats leaves)"
+                )
         else:
             state = state.replace(
                 params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
@@ -413,8 +444,11 @@ def _make_kd_train_step(model, base_loss, distiller, rot, with_label=False,
 
         def loss_wrapped(params):
             if fused_apply is not None:
+                f_args = (
+                    (points, batch["label"]) if with_label else (points,)
+                )
                 outputs, new_stats = fused_apply(
-                    params, state.batch_stats, points, drop_rng
+                    params, state.batch_stats, *f_args, drop_rng
                 )
             else:
                 args_ = (points, batch["label"]) if with_label else (points,)
@@ -545,10 +579,23 @@ def run_partseg(args) -> Optional[float]:
     distiller = None
     if getattr(args, "preload", None):
         teacher_model = _build_pseg_model(_fp_copy(args), num_part=50)
+        # teacher-shaped restore template (same fix as the cls driver: a
+        # binary student's tree has extra beta/scale leaves the FP teacher
+        # checkpoint lacks)
+        t_shapes = jax.eval_shape(
+            lambda: teacher_model.init(
+                jax.random.PRNGKey(0),
+                jnp.zeros((1, args.num_points, 3), jnp.float32),
+                jnp.zeros((1, 16), jnp.float32),
+            )
+        )
+        t_zeros = jax.tree.map(
+            lambda sh: jnp.zeros(sh.shape, sh.dtype), t_shapes
+        )
         t_template = {
             "epoch": 0,
-            "params": state.params,
-            "batch_stats": state.batch_stats,
+            "params": t_zeros["params"],
+            "batch_stats": t_zeros["batch_stats"],
             "best_metric": 0.0,
         }
         t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
@@ -565,6 +612,16 @@ def run_partseg(args) -> Optional[float]:
                 f"KD teacher loaded from {args.preload} "
                 f"(T={distiller.T}, alpha={getattr(args, 'kd_alpha', 0.5)})"
             )
+            if getattr(args, "kd_init", True):
+                new_p, hp, tp = _merge_overlap(state.params, t_ckpt["params"])
+                new_b, hb, tb = _merge_overlap(
+                    state.batch_stats, t_ckpt["batch_stats"]
+                )
+                state = state.replace(params=new_p, batch_stats=new_b)
+                log_string(
+                    f"KD student initialized from teacher "
+                    f"({hp}/{tp} params, {hb}/{tb} batch_stats leaves)"
+                )
         else:
             state = state.replace(
                 params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]

@@ -72,8 +72,11 @@ def make_train_step(
 
         def loss_wrapped(params):
             if fused_apply is not None:
+                f_args = (
+                    (points, batch["label"]) if with_label else (points,)
+                )
                 outputs, new_stats = fused_apply(
-                    params, state.batch_stats, points, drop_rng
+                    params, state.batch_stats, *f_args, drop_rng
                 )
                 loss = loss_fn(outputs, batch["target"])
                 return loss, (outputs, new_stats)

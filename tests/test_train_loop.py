@@ -73,6 +73,76 @@ def test_cls_train_eval_roundtrip(synth_data, tmp_path):
     assert acc3 is not None
 
 
+def test_cls_kd_distill(synth_data, tmp_path, capsys):
+    """FP teacher -> binary student KD: teacher-shaped restore template +
+    teacher-init of overlapping leaves (ref ships only KD checkpoint evals,
+    /root/reference/scripts.sh:54-55; the train recipe is ours)."""
+    teacher_dir = tmp_path / "teacher"
+    common = [
+        "--model", "svnet",
+        "--epochs", "1", "--num-points", "64", "--batch-size", "8",
+        "--k", "8", "--rot", "aligned", "--rot-test", "aligned",
+        "--data-dir", str(synth_data),
+    ]
+    acc_t = cls_pointnet_main(common + ["--save-dir", str(teacher_dir)])
+    assert acc_t is not None
+    t_ckpt = teacher_dir / "save_models" / "model_best.ckpt"
+
+    student_dir = tmp_path / "student"
+    acc_s = cls_pointnet_main(
+        common
+        + ["--binary", "--save-dir", str(student_dir),
+           "--preload", str(t_ckpt), "--distill",
+           "--kd-t", "2", "--kd-alpha", "0.3"]
+    )
+    assert acc_s is not None and 0.0 <= acc_s <= 1.0
+    # the shared cls-log logger is cached per-process on the first run's
+    # dir; each run's own timestamped log is the per-run contract file
+    log = "".join(
+        f.read_text() for f in student_dir.glob("cls-*.txt")
+    )
+    assert "KD teacher loaded" in log
+    assert "KD student initialized from teacher" in log
+
+    # --no-kd-init keeps the fresh student init
+    student2 = tmp_path / "student2"
+    cls_pointnet_main(
+        common
+        + ["--binary", "--save-dir", str(student2),
+           "--preload", str(t_ckpt), "--distill", "--no-kd-init"]
+    )
+    log2 = "".join(f.read_text() for f in student2.glob("cls-*.txt"))
+    assert "KD teacher loaded" in log2
+    assert "KD student initialized" not in log2
+
+
+def test_partseg_kd_distill(synth_data, tmp_path):
+    """Partseg KD path: binary student's tree has beta/scale leaves the FP
+    teacher lacks — the restore template must be teacher-shaped."""
+    teacher_dir = tmp_path / "t_seg"
+    common = [
+        "--model", "svnet",
+        "--epochs", "1", "--num-points", "64", "--batch-size", "8",
+        "--k", "8", "--rot", "aligned", "--rot-test", "aligned",
+        "--data-dir", str(synth_data),
+    ]
+    iou_t = pseg_pointnet_main(common + ["--save-dir", str(teacher_dir)])
+    assert iou_t is not None
+    t_ckpt = teacher_dir / "save_models" / "model_best.ckpt"
+
+    student_dir = tmp_path / "s_seg"
+    iou_s = pseg_pointnet_main(
+        common
+        + ["--binary", "--save-dir", str(student_dir),
+           "--preload", str(t_ckpt), "--distill"]
+    )
+    assert iou_s is not None and 0.0 <= iou_s <= 1.0
+    log = "".join(
+        f.read_text() for f in student_dir.glob("partseg-*.txt")
+    )
+    assert "KD student initialized from teacher" in log
+
+
 def test_cls_checkinfo(synth_data, capsys):
     out = cls_pointnet_main(
         ["--model", "svnet", "--checkinfo", "--num-points", "64",
