@@ -72,6 +72,15 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
     p.add_argument("--no-kd-init", dest="kd_init", action="store_false",
                    help="do NOT initialize the student from the teacher "
                         "(default: overlapping leaves are copied)")
+    p.add_argument("--bn-reestimate", type=int, default=-1, metavar="N",
+                   help="re-estimate BN running stats over N train batches "
+                        "at fixed weights before each test eval. Binary "
+                        "nets' activation distributions shift with every "
+                        "weight-sign flip, so the EMA running stats are "
+                        "stale mid-training (measured: epoch-59 binary ckpt "
+                        "evals at 0.05 with stored stats, 0.77 after "
+                        "re-estimation). -1 = auto (60 when --binary, else "
+                        "0 = off)")
     p.add_argument("--profile-dir", metavar="DIR", default=None,
                    help="write a jax.profiler trace of a few train steps")
     p.add_argument("--debug-nans", action="store_true",

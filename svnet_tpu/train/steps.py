@@ -102,6 +102,36 @@ def make_train_step(
     return step
 
 
+def make_recal_step(
+    model,
+    rot: str = "aligned",
+    with_label: bool = False,
+    fused_apply: Optional[Callable] = None,
+):
+    """BN running-stats re-estimation step: a train-mode forward at FIXED
+    weights that only advances the batch_stats EMA. Binary nets need this
+    before eval — weight-sign flips shift activation distributions faster
+    than the EMA tracks them (see --bn-reestimate)."""
+
+    def step(params, batch_stats, batch, rng):
+        rot_rng, drop_rng = jax.random.split(rng)
+        points = ops.apply_rotation_aug(rot_rng, batch["points"], rot)
+        args = (points, batch["label"]) if with_label else (points,)
+        if fused_apply is not None:
+            _, new_stats = fused_apply(params, batch_stats, *args, drop_rng)
+            return new_stats
+        _, updates = model.apply(
+            {"params": params, "batch_stats": batch_stats},
+            *args,
+            True,
+            mutable=["batch_stats"],
+            rngs={"dropout": drop_rng},
+        )
+        return updates["batch_stats"]
+
+    return step
+
+
 def make_eval_step(
     model,
     loss_fn: Callable,

@@ -103,6 +103,8 @@ def test_cls_kd_distill(synth_data, tmp_path, capsys):
     )
     assert "KD teacher loaded" in log
     assert "KD student initialized from teacher" in log
+    # binary student auto-enables BN re-estimation before eval
+    assert "BN re-estimation before eval" in log
 
     # --no-kd-init keeps the fresh student init
     student2 = tmp_path / "student2"
