@@ -27,7 +27,7 @@ def synth_data(tmp_path_factory):
 def test_fused_test_eval_matches(synth_data, tmp_path):
     save = tmp_path / "r"
     common = [
-        "--model", "svnet", "--binary",
+        "--model", "svnet", "--binary", "--bn-reestimate", "2",
         "--num-points", "64", "--batch-size", "8", "--k", "8",
         "--rot", "aligned", "--rot-test", "aligned",
         "--data-dir", str(synth_data), "--save-dir", str(save),
@@ -42,7 +42,7 @@ def test_fused_test_eval_matches(synth_data, tmp_path):
 def test_fused_test_eval_pointnet_matches(synth_data, tmp_path):
     save = tmp_path / "rp"
     common = [
-        "--model", "svnet", "--binary",
+        "--model", "svnet", "--binary", "--bn-reestimate", "2",
         "--num-points", "64", "--batch-size", "8", "--k", "8",
         "--rot", "aligned", "--rot-test", "aligned",
         "--data-dir", str(synth_data), "--save-dir", str(save),

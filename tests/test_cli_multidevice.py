@@ -26,6 +26,7 @@ def test_cls_train_dp8(synth_data, tmp_path):
     acc = cls_main(
         [
             "--model", "svnet", "--binary", "--dp", "8",
+            "--bn-reestimate", "2",
             "--epochs", "1", "--num-points", "64", "--batch-size", "16",
             "--k", "8", "--rot", "aligned", "--rot-test", "aligned",
             "--data-dir", str(synth_data), "--save-dir", str(tmp_path / "r"),

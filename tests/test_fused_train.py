@@ -95,6 +95,8 @@ def test_fused_round_grad_parity(binary):
         )
 
 
+@pytest.mark.slow  # full-model interpret parity, ~2 min on the 1-CPU box;
+# the per-kernel grad/logit parity tests above stay in the default run
 def test_fused_model_apply_parity():
     from svnet_tpu.train.fused import make_fused_train_apply
 

@@ -25,7 +25,7 @@ def test_profile_dir_written(tmp_path):
             "--num-points", "64", "--batch-size", "8", "--k", "8",
             "--rot", "aligned", "--rot-test", "aligned",
             "--data-dir", str(root), "--save-dir", str(tmp_path / "res"),
-            "--profile-dir", str(prof),
+            "--profile-dir", str(prof), "--bn-reestimate", "0",
         ]
     )
     files = [

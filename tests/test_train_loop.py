@@ -49,7 +49,7 @@ def synth_data(tmp_path_factory):
 def test_cls_train_eval_roundtrip(synth_data, tmp_path):
     save = tmp_path / "results"
     common = [
-        "--model", "svnet", "--binary",
+        "--model", "svnet", "--binary", "--bn-reestimate", "2",
         "--epochs", "2", "--num-points", "64", "--batch-size", "8",
         "--k", "8", "--rot", "z", "--rot-test", "aligned",
         "--data-dir", str(synth_data), "--save-dir", str(save),
@@ -91,7 +91,7 @@ def test_cls_kd_distill(synth_data, tmp_path, capsys):
     student_dir = tmp_path / "student"
     acc_s = cls_pointnet_main(
         common
-        + ["--binary", "--save-dir", str(student_dir),
+        + ["--binary", "--bn-reestimate", "2", "--save-dir", str(student_dir),
            "--preload", str(t_ckpt), "--distill",
            "--kd-t", "2", "--kd-alpha", "0.3"]
     )
@@ -110,7 +110,7 @@ def test_cls_kd_distill(synth_data, tmp_path, capsys):
     student2 = tmp_path / "student2"
     cls_pointnet_main(
         common
-        + ["--binary", "--save-dir", str(student2),
+        + ["--binary", "--bn-reestimate", "2", "--save-dir", str(student2),
            "--preload", str(t_ckpt), "--distill", "--no-kd-init"]
     )
     log2 = "".join(f.read_text() for f in student2.glob("cls-*.txt"))
@@ -135,7 +135,7 @@ def test_partseg_kd_distill(synth_data, tmp_path):
     student_dir = tmp_path / "s_seg"
     iou_s = pseg_pointnet_main(
         common
-        + ["--binary", "--save-dir", str(student_dir),
+        + ["--binary", "--bn-reestimate", "2", "--save-dir", str(student_dir),
            "--preload", str(t_ckpt), "--distill"]
     )
     assert iou_s is not None and 0.0 <= iou_s <= 1.0
@@ -159,7 +159,7 @@ def test_partseg_train_eval(synth_data, tmp_path):
     save = tmp_path / "results_seg"
     iou = pseg_pointnet_main(
         [
-            "--model", "svnet", "--binary",
+            "--model", "svnet", "--binary", "--bn-reestimate", "2",
             "--epochs", "1", "--num-points", "64", "--batch-size", "8",
             "--k", "8", "--rot", "aligned", "--rot-test", "aligned",
             "--data-dir", str(synth_data), "--save-dir", str(save),
