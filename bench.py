@@ -68,6 +68,10 @@ def main():
         default="round3",
     )
     ap.add_argument(
+        "--arch", choices=["dgcnn", "pointnet"], default="dgcnn",
+        help="model family (fused engines exist for both, cls and partseg)",
+    )
+    ap.add_argument(
         "--strict", action="store_true",
         help="fail instead of falling back to the flax engine",
     )
@@ -120,18 +124,33 @@ def main():
         perm = morton_order(pts)
         return jnp.take_along_axis(pts, perm[..., None], axis=1)
 
+    dgcnn = args.arch == "dgcnn"
     if args.task == "cls":
-        from svnet_tpu.infer import SVDGCNNClsEngine as Engine
+        if dgcnn:
+            from svnet_tpu.infer import SVDGCNNClsEngine as Engine
 
-        model = models.SV_DGCNN_CLS(num_classes=40, k=args.k, binary=True)
+            model = models.SV_DGCNN_CLS(num_classes=40, k=args.k, binary=True)
+        else:
+            from svnet_tpu.infer import SVPointNetClsEngine as Engine
+
+            model = models.SV_PointNet_CLS(
+                num_classes=40, k=args.k, binary=True
+            )
         points = make_points()
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), points)
         ex_args = (points,)
         flax_fwd = lambda *a: model.apply(variables, a[0], False)
     else:
-        from svnet_tpu.infer import SVDGCNNPsegEngine as Engine
+        if dgcnn:
+            from svnet_tpu.infer import SVDGCNNPsegEngine as Engine
 
-        model = models.SV_DGCNN_PSEG(num_part=50, k=args.k, binary=True)
+            model = models.SV_DGCNN_PSEG(num_part=50, k=args.k, binary=True)
+        else:
+            from svnet_tpu.infer import SVPointNetPsegEngine as Engine
+
+            model = models.SV_PointNet_PSEG(
+                num_part=50, k=args.k, binary=True
+            )
         points = make_points()
         label = jax.nn.one_hot(
             jnp.arange(args.batch) % 16, 16, dtype=jnp.float32
@@ -142,10 +161,9 @@ def main():
 
     def make_timed(engine_kind, mode):
         if engine_kind == "fused":
-            kw = dict(
-                k=args.k, binary=True, mode=mode,
-                rounds_impl=args.rounds_impl, window=args.window,
-            )
+            kw = dict(k=args.k, binary=True, mode=mode)
+            if dgcnn:  # pointnet engines take neither rounds_impl nor window
+                kw.update(rounds_impl=args.rounds_impl, window=args.window)
             eng = Engine(variables, **kw)
             forward = eng._forward
         else:
@@ -199,7 +217,7 @@ def main():
     head_mode = modes[0]
     value = round(results[head_mode], 1)
     out = {
-        "metric": f"svnet_dgcnn_binary_inference_{args.task}",
+        "metric": f"svnet_{args.arch}_binary_inference_{args.task}",
         "value": value,
         "unit": (
             f"clouds/s/chip @ {args.num_points} pts "

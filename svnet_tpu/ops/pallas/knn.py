@@ -5,11 +5,11 @@ Replaces the reference's knn (sv_util.py:19-25) hot spot the TPU way
 
   * per (batch, point-tile) program: one MXU matmul produces a (T, N)
     negative-squared-distance tile in VMEM;
-  * top-k via the sv_round2 fused extraction (round 2): exact mode uses
-    order-preserving int32 keys (1 fused update+max pass + 1 min-where
-    pass per rank — was ~5 passes of argmax in round 1); fast mode packs
-    the quantized distance with the column index so the max IS the winner
-    (1 fused pass per rank);
+  * top-k via thresholded selection over an immutable key array (round
+    3.1): exact mode uses order-preserving int32 keys (2 traversals per
+    rank — was ~5 passes of argmax in round 1); fast mode packs the
+    quantized distance with the column index so the max IS the winner
+    (1 traversal per rank, no key writes);
   * neighbour ordering is by descending -distance with lowest-index
     tie-break — same neighbour *sets* as torch.topk (order cancels through
     the symmetric svpool, SURVEY.md §7 hard part 2).
@@ -24,9 +24,13 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+import numpy as np
+
 from svnet_tpu.ops.pallas.sv_round2 import (
+    _BIG,
+    _INT_MIN,
     _build_key,
-    _extract_rank,
+    _idx_bits,
     _neg_dist,
 )
 
@@ -40,11 +44,36 @@ def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, N: int, mode: str):
     neg = _neg_dist(xt, xa, N, exact)
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     key = _build_key(neg, cols, N, mode)
-    m = jnp.max(key, axis=1, keepdims=True)
-    for j in range(k):
-        mask, key, m = _extract_rank(key, m, cols, N, exact)
-        # winner column from the one-hot mask in one reduce
-        out_ref[0, :, j] = jnp.max(mask.astype(jnp.int32) * cols, axis=1)
+    if exact:
+        # f32-bit keys can TIE, so the update-and-rescan loop stands:
+        # min-col-id among the current max (torch.topk tie-break), INT_MIN
+        # scatter at the winner, fresh max. Threshold/no-write schemes
+        # measured no faster for exact on this chip (PERF.md r3.1).
+        m = jnp.max(key, axis=1, keepdims=True)
+        for j in range(k):
+            amin = jnp.min(
+                jnp.where(key == m, cols, _BIG), axis=1, keepdims=True
+            )
+            out_ref[0, :, j] = amin[:, 0]
+            if j + 1 < k:
+                key = jnp.where(cols == amin, _INT_MIN, key)
+                m = jnp.max(key, axis=1, keepdims=True)
+    else:
+        # packed keys are unique (column id in the low bits): rank j+1 is
+        # the max over keys strictly below rank j's value — the key array
+        # stays immutable and the winner id falls out of the max (r3.1).
+        ib = np.int32(1 << _idx_bits(N))
+        st = None
+        for j in range(k):
+            if st is None:
+                m = jnp.max(key, axis=1, keepdims=True)
+            else:
+                m = jnp.max(
+                    jnp.where(key < st, key, _INT_MIN), axis=1, keepdims=True
+                )
+            st = m
+            win = (ib - 1) - jnp.remainder(m, ib)  # floor-mod: keys < 0
+            out_ref[0, :, j] = win[:, 0]
 
 
 @functools.partial(jax.jit, static_argnames=("k", "tile", "mode", "interpret"))

@@ -186,18 +186,101 @@ def _build_key_t(neg, rows, N, mode, W=None, valid=None):
     return key
 
 
-def _extract_rank_t(key, m, rows, N, exact):
-    """One neighbour rank: (int8 (N, T) one-hot, updated key, new max)."""
-    if exact:
-        amin = jnp.min(jnp.where(key == m, rows, _BIG), axis=0, keepdims=True)
-        mask = (rows == amin).astype(jnp.int8)
-        key = jnp.where(rows == amin, _INT_MIN, key)
-    else:
-        ib = np.int32(1 << _idx_bits(N))
-        win = (ib - 1) - jnp.remainder(m, ib)
-        mask = (rows == win).astype(jnp.int8)
-        key = jnp.where(key == m, _INT_MIN, key)
-    return mask, key, jnp.max(key, axis=0, keepdims=True)
+def _merge_sorted_keys(a, b, gout):
+    """Top-``gout`` of two descending sorted key lists ((n, T) arrays).
+
+    c_i = max over (ka, j) with ka + j = i of min(a_ka, b_j); the 0-th
+    element is a +inf sentinel (drop the min) and out-of-range elements
+    are -inf sentinels (drop the candidate).
+    """
+    out = []
+    for i in range(1, gout + 1):
+        cands = []
+        for j in range(0, i + 1):
+            ka = i - j
+            if ka > len(a) or j > len(b):
+                continue
+            if ka == 0:
+                cands.append(b[j - 1])
+            elif j == 0:
+                cands.append(a[ka - 1])
+            else:
+                cands.append(jnp.minimum(a[ka - 1], b[j - 1]))
+        c = cands[0]
+        for x in cands[1:]:
+            c = jnp.maximum(c, x)
+        out.append(c)
+    return out
+
+
+def _top_group(key, G, st):
+    """Top-G key values of one tournament sweep over (W, T) keys.
+
+    Requires UNIQUE keys (the packed fast/approx keys embed the row id).
+    ``st``: exclusive upper threshold from the previous sweep — entries at
+    or above it are masked to -inf INSIDE the first merge level, so no
+    full-size eligibility temp materializes. Sorted-tuple tournament:
+    halve along sublanes carrying descending sorted-G lists; G ranks come
+    out of ONE traversal (~1.4x over the per-rank update-and-rescan loop
+    at G=8, measured on-chip at N=2048/k=40 — tools/bench_selection.py).
+    """
+    n = key.shape[0]
+    if n & (n - 1):  # non-power-of-2 candidate window (e.g. W = 3N/4)
+        p2 = 1 << (n - 1).bit_length()
+        key = jnp.concatenate(
+            [key, jnp.full((p2 - n, key.shape[1]), _INT_MIN, key.dtype)],
+            axis=0,
+        )
+        n = p2
+    lst = [key]
+    while n > 1:
+        n //= 2
+        a = [v[:n, :] for v in lst]
+        b = [v[n : 2 * n, :] for v in lst]
+        if st is not None:
+            a = [jnp.where(v < st, v, _INT_MIN) for v in a]
+            b = [jnp.where(v < st, v, _INT_MIN) for v in b]
+            st = None
+        lst = _merge_sorted_keys(a, b, min(G, 2 * len(lst)))
+    return lst[:G]
+
+
+_SEL_G = 8  # tuple width of the tournament sweeps (top8 ~= top16 on-chip)
+
+
+def _select_rows(key, rows, N, k, mode):
+    """Selection phase: ALL k winner row-ids up front, as k (1, T) int32
+    arrays of absolute ids (windowed/compacted selection included).
+
+    exact — f32-bit sortable keys are not unique (distance ties), so the
+    r2/r3.0 update-and-rescan loop stands: per rank, min-row-id among the
+    current max (torch.topk tie-break), INT_MIN scatter at the winner,
+    fresh max. fast/approx — packed keys are unique, so _top_group
+    extracts _SEL_G ranks per traversal and the winner ids fall out of
+    the low bits. Decoupling selection from the gather/block chunk loop
+    costs the MXU/VPU overlap of at most one chunk and frees the chunk
+    size R from the extraction group size.
+    """
+    if mode == "exact":
+        wins = []
+        m = jnp.max(key, axis=0, keepdims=True)
+        for j in range(k):
+            amin = jnp.min(
+                jnp.where(key == m, rows, _BIG), axis=0, keepdims=True
+            )
+            wins.append(amin)
+            if j + 1 < k:
+                key = jnp.where(rows == amin, _INT_MIN, key)
+                m = jnp.max(key, axis=0, keepdims=True)
+        return wins
+    ib = np.int32(1 << _idx_bits(N))
+    wins = []
+    st = None
+    for j0 in range(0, k, _SEL_G):
+        tops = _top_group(key, min(_SEL_G, k - j0), st)
+        st = tops[-1]
+        wins += [(ib - 1) - jnp.remainder(t, ib) for t in tops]
+    return wins
 
 
 def _zvpu(wzcols, v_e):
@@ -288,7 +371,7 @@ def _round3_kernel(
         # min(neg) over real candidates only)
         neg = jnp.where(valid, neg, 0.0)
     key = _build_key_t(neg, rows, N, mode, W, valid)
-    m = jnp.max(key, axis=0, keepdims=True)
+    wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids up front
 
     # centre-derived constants, reused across chunks. wz column slices are
     # 1-lane unaligned reads of a TINY (2V, 3) array — one-vreg shuffles,
@@ -302,9 +385,9 @@ def _round3_kernel(
     se_sum = None
 
     for chunk in range(k // R):
-        # ---- per-rank extract + gather into channel-major scratch ----
+        # ---- per-rank gather into channel-major scratch ----
         for r in range(R):
-            mask, key, m = _extract_rank_t(key, m, rows, N, exact)
+            mask = (rows == wins[chunk * R + r]).astype(jnp.int8)
             g = jax.lax.dot_general(
                 planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -703,7 +786,7 @@ def _round3_first_kernel(
     if valid is not None:
         neg = jnp.where(valid, neg, 0.0)
     key = _build_key_t(neg, rows, N, mode, W, valid)
-    m = jnp.max(key, axis=0, keepdims=True)
+    wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids up front
 
     wz0cols = [wz0c_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
     wz1cols = [wz1c_ref[:, j : j + 1] for j in range(3)]
@@ -715,7 +798,7 @@ def _round3_first_kernel(
     for chunk in range(k // R):
         nbr_cols = []
         for r in range(R):
-            mask, key, m = _extract_rank_t(key, m, rows, N, exact)
+            mask = (rows == wins[chunk * R + r]).astype(jnp.int8)
             g = jax.lax.dot_general(
                 planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
