@@ -1,12 +1,13 @@
-"""Fused TRAIN-mode forward for SV-DGCNN classification.
+"""Fused TRAIN-mode forward for SV-DGCNN classification and part seg.
 
-Functional twin of ``SV_DGCNN_CLS.apply(..., train=True, mutable=
-['batch_stats'])`` that routes the three binary DGCNN rounds through the
-custom-VJP fused round (ops/pallas/sv_round3_train) — kNN + gather + STE
-SVBlock + pool per round stay in VMEM in forward AND backward, removing
-the (B, N, k, C) HBM edge-tensor traffic that dominated the XLA train
-step. Everything else (first FP round, conv5, SVFuse, head, BN running-
-stats bookkeeping) runs as XLA train twins of the flax layers.
+Functional twins of ``SV_DGCNN_CLS.apply(..., train=True, mutable=
+['batch_stats'])`` (and the partseg counterpart) that route the three
+binary DGCNN rounds through the custom-VJP fused round
+(ops/pallas/sv_round3_train) — kNN + gather + STE SVBlock + pool per
+round stay in VMEM in forward AND backward, removing the (B, N, k, C)
+HBM edge-tensor traffic that dominated the XLA train step. Everything
+else (first FP round, conv5+, SVFuse taps, label branch, head, BN
+running-stats bookkeeping) runs as XLA train twins of the flax layers.
 
 Consumes/produces the EXACT flax trees (params, batch_stats), so
 TrainState, checkpoints and the optimizer see no difference. One
@@ -187,6 +188,112 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
         new_stats["bn2"] = {"bn": n2}
         x = jax.nn.leaky_relu(x, negative_slope=0.2)
         logits = _linear_train(p["linear3"], x, False, False)
+        return logits, new_stats
+
+    return apply
+
+
+def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
+                                interpret: bool = False):
+    """Returns apply(params, batch_stats, points, label, dropout_rng) ->
+    (logits, new_batch_stats), the fused twin of SV_DGCNN_PSEG train mode
+    (models/sv_dgcnn.py:111-179; ref sv_dgcnn_partseg.py:40-128).
+
+    The three binary trunk rounds (conv2-4, make_divisible widths) run the
+    custom-VJP fused round at N=2048/k=40 shapes; the partseg tail — conv5/
+    conv6, the three SVFuse taps, the 16->64 label branch and the conv8-11
+    pointwise head — runs as XLA train twins. Dropout is p=0 for binary
+    models (ref sv_dgcnn_partseg.py:30), the supported configuration here.
+    """
+    assert binary, "fused train apply currently covers the binary flagship"
+    # make_divisible(8)-rounded partseg widths (models/sv_dgcnn.py:137-150)
+    rounds = {
+        "conv2": (32, 16, 32, 16),
+        "conv3": (32, 16, 64, 24),
+        "conv4": (64, 24, 128, 40),
+    }
+    fused = {
+        name: make_fused_round(S, V, So, Vo, k, binary=True,
+                               interpret=interpret)
+        for name, (S, V, So, Vo) in rounds.items()
+    }
+    SUB = ("v2s", "linear1", "bn1", "linear2", "bn2")
+
+    def apply(params, batch_stats, points, label, rng=None):
+        p, bs = params, batch_stats
+        B, N = points.shape[0], points.shape[1]
+        new_stats = {}
+
+        # round 1 (FP): coordinate edges + init_scalar + conv1 in XLA
+        v_e = ops.get_graph_feature(points, k=k)  # (B, N, k, 3, 2)
+        s_e = _v2s_train(p["init_scalar"], v_e, False)
+        (s, v), upd = _svblock_train(p["conv1"], bs["conv1"], (s_e, v_e),
+                                     binary=False)
+        new_stats["conv1"] = upd
+        x1 = ops.svpool((s, v))
+
+        outs = [x1]
+        for name, (S, V, So, Vo) in rounds.items():
+            s_in, v_in = outs[-1]
+            joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
+            idx = ops.knn(joint, k)
+            sub = {kk: p[name][kk] for kk in SUB}
+            so, vo_ung, s_mean, (mu1, var1, mun, varn) = fused[name](
+                joint, idx, sub
+            )
+            g = jax.nn.relu(s_mean @ p[name]["gate_fc1"]["kernel"])
+            g = jax.nn.sigmoid(g @ p[name]["gate_fc2"]["kernel"])
+            vo = vo_ung.reshape(B, N, 3, Vo) * g[:, None, None, :]
+            new_stats[name] = {
+                "bn1": {"bn": _stats_update(bs[name]["bn1"]["bn"], mu1, var1)},
+                "bn2": {"bn": _stats_update(bs[name]["bn2"]["bn"], mun, varn)},
+            }
+            outs.append((so, vo))
+
+        s_c = jnp.concatenate([o[0] for o in outs], axis=-1)
+        v_c = jnp.concatenate([o[1] for o in outs], axis=-1)
+
+        # per-point fine features: svfuse1 tap on the skip-concat
+        x_fine = jnp.concatenate(
+            [s_c, _v2s_train(p["svfuse1"]["v2s"], v_c, True)], axis=-1
+        )
+
+        # embedding: conv5 -> (pool over N -> conv6 -> svfuse2) global tap
+        # and a per-point svfuse3 -> max-over-N tap
+        (s5, v5), upd5 = _svblock_train(
+            p["conv5"], bs["conv5"], (s_c, v_c), binary=True
+        )
+        new_stats["conv5"] = upd5
+        sp, vp = ops.svpool((s5, v5), axis=1, keepdims=True)
+        (s6, v6), upd6 = _svblock_train(
+            p["conv6"], bs["conv6"], (sp, vp), binary=True
+        )
+        new_stats["conv6"] = upd6
+        x_pool = jnp.concatenate(
+            [s6, _v2s_train(p["svfuse2"]["v2s"], v6, True)], axis=-1
+        )  # (B, 1, ·)
+        x_sf3 = jnp.concatenate(
+            [s5, _v2s_train(p["svfuse3"]["v2s"], v5, True)], axis=-1
+        )
+        x_max = jnp.max(x_sf3, axis=1, keepdims=True)  # (B, 1, ·)
+
+        # label branch: FP 16 -> 64 linear + BN + lrelu
+        l = _linear_train(p["conv7"], label, False, False)
+        l, n7 = _bn_train(p["bn7"]["bn"], bs["bn7"]["bn"], l)
+        new_stats["bn7"] = {"bn": n7}
+        l = jax.nn.leaky_relu(l, negative_slope=0.2)[:, None, :]
+
+        g = jnp.concatenate([x_max, x_pool, l], axis=-1)
+        g = jnp.broadcast_to(g, (B, N, g.shape[-1]))
+        x = jnp.concatenate([g, x_fine], axis=-1)
+
+        # binarizable pointwise head (dropout p=0 in the binary config)
+        for name in ("conv8", "conv9", "conv10"):
+            x = _linear_train(p[name]["conv"], x, True, True)
+            x, nc = _bn_train(p[name]["bn"], bs[name]["bn"], x)
+            new_stats[name] = {"bn": nc}
+            x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        logits = _linear_train(p["conv11"], x, False, False)
         return logits, new_stats
 
     return apply

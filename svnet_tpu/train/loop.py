@@ -694,15 +694,35 @@ def run_partseg(args) -> Optional[float]:
             )
             log_string(f"preloaded weights from {args.preload}")
 
+    # The fused Pallas train forward (train/fused.py) replaces model.apply
+    # for the binary SV-DGCNN partseg flagship (config.fused_train) — same
+    # gating as the cls driver.
+    fused_apply = None
+    if (
+        config.fused_train != "off"
+        and args.model == "svnet"
+        and args.backbone == "dgcnn"
+        and args.binary
+        and (config.fused_train == "on" or jax.default_backend() == "tpu")
+    ):
+        from svnet_tpu.train.fused import make_fused_train_apply_pseg
+
+        fused_apply = make_fused_train_apply_pseg(
+            50, args.k, binary=True,
+            interpret=jax.default_backend() != "tpu",
+        )
+        log_string("fused Pallas train forward enabled")
     if distiller is None:
         train_step = jax.jit(
-            make_train_step(model, seg_loss, rot=args.rot, with_label=True)
+            make_train_step(model, seg_loss, rot=args.rot, with_label=True,
+                            fused_apply=fused_apply)
         )
     else:
         train_step = jax.jit(
             _make_kd_train_step(
                 model, seg_loss, distiller, rot=args.rot, with_label=True,
                 alpha=getattr(args, "kd_alpha", 0.5),
+                fused_apply=fused_apply,
             )
         )
     eval_step = jax.jit(
@@ -712,7 +732,8 @@ def run_partseg(args) -> Optional[float]:
     recal_step = None
     if recal_n:
         recal_step = jax.jit(
-            make_recal_step(model, rot=args.rot, with_label=True)
+            make_recal_step(model, rot=args.rot, with_label=True,
+                            fused_apply=fused_apply)
         )
         log_string(f"BN re-estimation before eval: {recal_n} train batches")
 

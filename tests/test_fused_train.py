@@ -162,3 +162,65 @@ def test_fused_model_apply_parity():
     a = np.concatenate(allg2)
     b = np.concatenate(allg1)
     assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2
+
+
+@pytest.mark.slow  # full partseg model interpret parity (~minutes on CPU);
+# the per-kernel grad/logit parity tests above stay in the default run
+def test_fused_pseg_model_apply_parity():
+    from svnet_tpu.train.fused import make_fused_train_apply_pseg
+
+    model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=True)
+    points = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    label = jax.nn.one_hot(jnp.arange(B) % 16, 16)
+    variables = model.init(jax.random.PRNGKey(1), points, label)
+    params, bs = variables["params"], variables["batch_stats"]
+    target = jnp.arange(B * N).reshape(B, N) % 50
+    onehot = jax.nn.one_hot(target, 50)
+
+    def ref_loss(params, pts):
+        out, upd = model.apply(
+            {"params": params, "batch_stats": bs}, pts, label, True,
+            mutable=["batch_stats"],
+            rngs={"dropout": jax.random.PRNGKey(0)},
+        )
+        return jnp.mean((out - onehot) ** 2), (out, upd["batch_stats"])
+
+    fused_apply = make_fused_train_apply_pseg(50, K, binary=True,
+                                              interpret=True)
+
+    def fused_loss(params, pts):
+        out, new_bs = fused_apply(params, bs, pts, label)
+        return jnp.mean((out - onehot) ** 2), (out, new_bs)
+
+    (l1, (o1, bs1)), g1 = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)(params, points)
+    (l2, (o2, bs2)), g2 = jax.value_and_grad(
+        fused_loss, argnums=(0, 1), has_aux=True)(params, points)
+
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
+                               rtol=2e-4, atol=2e-4)
+
+    def rel_err(a, b):
+        a, b = np.asarray(a), np.asarray(b)
+        return np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6)
+
+    jax.tree.map(
+        lambda a, b: None if rel_err(a, b) <= 2e-2 else (_ for _ in ()).throw(
+            AssertionError(f"stats mismatch {rel_err(a, b)}")),
+        bs2, bs1,
+    )
+    assert rel_err(g2[1], g1[1]) <= 2e-2
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
+    allg1, allg2 = [], []
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
+        a = np.asarray(flat2[path]).ravel()
+        b = np.asarray(leaf).ravel()
+        allg1.append(b)
+        allg2.append(a)
+        denom = np.linalg.norm(a) * np.linalg.norm(b)
+        if denom > 1e-10 and a.size >= 8:
+            cos = float(np.dot(a, b) / denom)
+            assert cos >= 0.9, (jax.tree_util.keystr(path), cos)
+    a = np.concatenate(allg2)
+    b = np.concatenate(allg1)
+    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2

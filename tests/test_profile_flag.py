@@ -19,9 +19,12 @@ def test_profile_dir_written(tmp_path):
             f["label"] = rng.integers(0, 40, (n, 1)).astype("int64")
 
     prof = tmp_path / "trace"
+    # --profile-dir wiring is model-agnostic; the original PointNet is the
+    # cheapest compile on this 1-CPU box (the SV/binary variant spent ~3 min
+    # of pure XLA compile here for identical flag coverage)
     cls_main(
         [
-            "--model", "svnet", "--binary", "--epochs", "1",
+            "--model", "original", "--epochs", "1",
             "--num-points", "64", "--batch-size", "8", "--k", "8",
             "--rot", "aligned", "--rot-test", "aligned",
             "--data-dir", str(root), "--save-dir", str(tmp_path / "res"),
