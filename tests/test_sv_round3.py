@@ -135,3 +135,25 @@ def test_prune_compaction_exact_matches_full():
         np.testing.assert_array_equal(np.asarray(s_w), np.asarray(s_full))
         np.testing.assert_array_equal(np.asarray(v_w), np.asarray(v_full))
         np.testing.assert_array_equal(np.asarray(g_w), np.asarray(g_full))
+
+
+def test_top_group_tournament_vs_sort():
+    """The sorted-G tuple tournament (_top_group/_select_rows fast path)
+    returns exactly the descending top-G of unique keys — including the
+    non-power-of-2 candidate window branch (pow2 pad with _INT_MIN) and
+    the cross-sweep threshold chaining used for k > G ranks."""
+    from svnet_tpu.ops.pallas.sv_round3 import _SEL_G, _top_group
+
+    rng = np.random.default_rng(3)
+    for W in (256, 384):  # pow2 and the W = 3N/4 padding branch
+        # unique keys, negative-heavy like packed distance keys
+        keys = rng.choice(2**20, size=(W, 8), replace=False).astype(np.int32)
+        keys = jnp.asarray(keys - 2**19)
+        want = np.sort(np.asarray(keys), axis=0)[::-1]  # descending
+        st = None
+        got = []
+        for j0 in range(0, 24, _SEL_G):  # 3 chained sweeps
+            tops = _top_group(keys, _SEL_G, st)
+            st = tops[-1]
+            got += [np.asarray(t)[0] for t in tops]
+        np.testing.assert_array_equal(np.stack(got), want[:24])

@@ -1,0 +1,132 @@
+"""On-chip train-step timing: fused Pallas round vs the XLA block path.
+
+Times the FULL jitted training step (rotation aug + forward + backward +
+optimizer update) with bench.py's chained-iteration methodology — the
+TrainState threads through a fori_loop of steps inside one jit, so the
+per-step time is (total - tunnel roundtrip) / iters with no dispatch
+overhead per step. Reference wall to beat: ~185 ms/step cls B=32 (the
+torch reference's 55-60 s epoch at 9,840 clouds, BASELINE.md).
+
+  python tools/bench_train_step.py --task cls            # fused vs xla
+  python tools/bench_train_step.py --task partseg --impl fused
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import statistics
+import sys
+import time
+
+os.chdir(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.getcwd())
+
+import jax
+import jax.numpy as jnp
+
+from svnet_tpu import models
+from svnet_tpu.train import cal_loss, make_optimizer
+from svnet_tpu.train.steps import TrainState, make_train_step
+
+ROUNDTRIP_MS = 26.0  # measured axon-tunnel dispatch cost (PERF.md)
+
+# clouds per reference epoch: ModelNet40 train / ShapeNetPart trainval
+EPOCH_CLOUDS = {"cls": 9840, "partseg": 14007}
+
+
+def setup(task, B, N, K):
+    if task == "cls":
+        model = models.SV_DGCNN_CLS(num_classes=40, k=K, binary=True)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), pts)
+        batch = {"points": pts, "target": jnp.zeros((B,), jnp.int32)}
+        loss_fn, with_label, recipe = cal_loss, False, "dgcnn"
+    else:
+        model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=True)
+        pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+        lab = jax.nn.one_hot(jnp.arange(B) % 16, 16, dtype=jnp.float32)
+        variables = jax.jit(model.init)(jax.random.PRNGKey(1), pts, lab)
+        batch = {
+            "points": pts,
+            "label": lab,
+            "target": jnp.zeros((B, N), jnp.int32),
+        }
+        loss_fn, with_label, recipe = cal_loss, True, "dgcnn"
+    tx = make_optimizer(binary=True, lr=1e-3, epochs=10, steps_per_epoch=10,
+                        recipe=recipe)
+    state = TrainState.create(
+        params=variables["params"], batch_stats=variables["batch_stats"],
+        tx=tx,
+    )
+    return model, state, batch, loss_fn, with_label
+
+
+def make_fused(task, K, num_classes=40):
+    interp = jax.default_backend() != "tpu"
+    if task == "cls":
+        from svnet_tpu.train.fused import make_fused_train_apply
+
+        return make_fused_train_apply(num_classes, K, binary=True,
+                                      interpret=interp)
+    from svnet_tpu.train.fused import make_fused_train_apply_pseg
+
+    return make_fused_train_apply_pseg(50, K, binary=True, interpret=interp)
+
+
+def bench(task, impl, B, N, K, iters, repeats):
+    model, state, batch, loss_fn, with_label = setup(task, B, N, K)
+    fused_apply = make_fused(task, K) if impl == "fused" else None
+    step = make_train_step(model, loss_fn, rot="z", with_label=with_label,
+                           fused_apply=fused_apply)
+
+    @jax.jit
+    def timed(state, batch, rng):
+        def body(i, c):
+            st, _ = c
+            st2, loss, _ = step(st, batch, jax.random.fold_in(rng, i))
+            return st2, loss
+        _, loss = jax.lax.fori_loop(
+            0, iters, body, (state, jnp.float32(0.0))
+        )
+        return loss
+
+    rng = jax.random.PRNGKey(2)
+    float(timed(state, batch, rng))  # compile + warm
+    times = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        float(timed(state, batch, rng))
+        times.append(time.perf_counter() - t0)
+    total_ms = statistics.median(times) * 1e3
+    ms = max((total_ms - ROUNDTRIP_MS) / iters, 1e-6)
+    cps = B / (ms / 1e3)
+    epoch = EPOCH_CLOUDS[task] / cps
+    print(
+        f"{task} {impl}: {ms:.1f} ms/step (B={B}, N={N}, k={K}) = "
+        f"{cps:.0f} clouds/s, epoch@{EPOCH_CLOUDS[task]} ~ {epoch:.1f} s",
+        flush=True,
+    )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--task", choices=["cls", "partseg"], default="cls")
+    ap.add_argument("--impl", choices=["fused", "xla", "both"],
+                    default="both")
+    ap.add_argument("--batch", type=int, default=32)
+    ap.add_argument("--num-points", type=int, default=0)
+    ap.add_argument("--k", type=int, default=0)
+    ap.add_argument("--iters", type=int, default=8)
+    ap.add_argument("--repeats", type=int, default=3)
+    args = ap.parse_args()
+
+    N = args.num_points or (1024 if args.task == "cls" else 2048)
+    K = args.k or (20 if args.task == "cls" else 40)
+    impls = ["fused", "xla"] if args.impl == "both" else [args.impl]
+    for impl in impls:
+        bench(args.task, impl, args.batch, N, K, args.iters, args.repeats)
+
+
+if __name__ == "__main__":
+    main()
