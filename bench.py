@@ -84,7 +84,15 @@ def main():
         help="bench on Morton-sorted deformed-sphere surface clouds "
              "instead of N(0,1) noise (block skipping only helps here)",
     )
+    ap.add_argument(
+        "--exact-selection", choices=["update", "pair"], default=None,
+        help="exact-mode top-k scheme A/B (config.set_exact_selection)",
+    )
     args = ap.parse_args()
+    if args.exact_selection:
+        from svnet_tpu import config
+
+        config.set_exact_selection(args.exact_selection)
     # task-shape defaults (reference bench shapes: cls N=1024/k=20,
     # partseg N=2048/k=40 — main_cls_dgcnn.py:29, main_partseg_dgcnn.py:26-31)
     if args.batch is None:

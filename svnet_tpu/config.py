@@ -66,6 +66,20 @@ def set_binary_matmul(name: str) -> None:
     binary_matmul = name
 
 
+exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
+
+
+def set_exact_selection(name: str) -> None:
+    """Exact-mode top-k extraction in the round kernels: 'update' = the
+    per-rank update-and-rescan loop (production default); 'pair' = the
+    sorted-G (value, row)-pair tournament — same exact semantics including
+    the min-row tie-break, ~G ranks per key traversal (A/B it on-chip with
+    tools/bench_selection.py before flipping the default)."""
+    global exact_selection
+    assert name in ("update", "pair"), name
+    exact_selection = name
+
+
 def set_fused_train(name: str) -> None:
     """'auto' (TPU only), 'on', or 'off' — the fused Pallas training
     forward/backward for the binary SV-DGCNN classifier (train/fused.py)."""

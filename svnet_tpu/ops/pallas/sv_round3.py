@@ -248,6 +248,79 @@ def _top_group(key, G, st):
 _SEL_G = 8  # tuple width of the tournament sweeps (top8 ~= top16 on-chip)
 
 
+def _pmax(p, q):
+    """Pair max under (value desc, row asc) — the exact-mode total order
+    (min-row-id tie-break, torch.topk semantics)."""
+    c = (p[0] > q[0]) | ((p[0] == q[0]) & (p[1] < q[1]))
+    return jnp.where(c, p[0], q[0]), jnp.where(c, p[1], q[1])
+
+
+def _pmin(p, q):
+    c = (p[0] > q[0]) | ((p[0] == q[0]) & (p[1] < q[1]))
+    return jnp.where(c, q[0], p[0]), jnp.where(c, q[1], p[1])
+
+
+def _merge_sorted_pairs(a, b, gout):
+    """Pair analogue of _merge_sorted_keys for the exact total order."""
+    out = []
+    for i in range(1, gout + 1):
+        cands = []
+        for j in range(0, i + 1):
+            ka = i - j
+            if ka > len(a) or j > len(b):
+                continue
+            if ka == 0:
+                cands.append(b[j - 1])
+            elif j == 0:
+                cands.append(a[ka - 1])
+            else:
+                cands.append(_pmin(a[ka - 1], b[j - 1]))
+        c = cands[0]
+        for x in cands[1:]:
+            c = _pmax(c, x)
+        out.append(c)
+    return out
+
+
+def _top_group_pair(val, row, G, st):
+    """Top-G (value, row) pairs of one tournament sweep — exact mode.
+
+    f32-bit sortable values TIE, but (value, row) pairs are unique, so the
+    sorted-tuple tournament and cross-sweep threshold stay valid and ties
+    extract in increasing row order (the update-loop/torch.topk
+    tie-break). ``st``: the last extracted pair — entries at or before it
+    in the (v desc, r asc) order are masked inside the first merge level.
+    """
+    n = val.shape[0]
+    if n & (n - 1):  # non-power-of-2 candidate window
+        p2 = 1 << (n - 1).bit_length()
+        padv = jnp.full((p2 - n, val.shape[1]), _INT_MIN, val.dtype)
+        padr = jnp.full((p2 - n, row.shape[1]), _BIG, row.dtype)
+        val = jnp.concatenate([val, padv], axis=0)
+        row = jnp.concatenate([row, padr], axis=0)
+        n = p2
+    lst = [(val, row)]
+    while n > 1:
+        n //= 2
+        a = [(v[:n, :], r[:n, :]) for v, r in lst]
+        b = [(v[n : 2 * n, :], r[n : 2 * n, :]) for v, r in lst]
+        if st is not None:
+            sv, sr = st
+
+            def _mask(p):
+                keep = (p[0] < sv) | ((p[0] == sv) & (p[1] > sr))
+                return (
+                    jnp.where(keep, p[0], _INT_MIN),
+                    jnp.where(keep, p[1], _BIG),
+                )
+
+            a = [_mask(p) for p in a]
+            b = [_mask(p) for p in b]
+            st = None
+        lst = _merge_sorted_pairs(a, b, min(G, 2 * len(lst)))
+    return lst[:G]
+
+
 def _select_rows(key, rows, N, k, mode):
     """Selection phase: ALL k winner row-ids up front, as k (1, T) int32
     arrays of absolute ids (windowed/compacted selection included).
@@ -255,13 +328,26 @@ def _select_rows(key, rows, N, k, mode):
     exact — f32-bit sortable keys are not unique (distance ties), so the
     r2/r3.0 update-and-rescan loop stands: per rank, min-row-id among the
     current max (torch.topk tie-break), INT_MIN scatter at the winner,
-    fresh max. fast/approx — packed keys are unique, so _top_group
-    extracts _SEL_G ranks per traversal and the winner ids fall out of
-    the low bits. Decoupling selection from the gather/block chunk loop
-    costs the MXU/VPU overlap of at most one chunk and frees the chunk
-    size R from the extraction group size.
+    fresh max. config.exact_selection='pair' swaps in the (value, row)
+    sorted-pair tournament — identical exact semantics (pairs ARE unique,
+    ties extract in increasing row order), ~_SEL_G ranks per traversal at
+    2 planes per element. fast/approx — packed keys are unique, so
+    _top_group extracts _SEL_G ranks per traversal and the winner ids
+    fall out of the low bits. Decoupling selection from the gather/block
+    chunk loop costs the MXU/VPU overlap of at most one chunk and frees
+    the chunk size R from the extraction group size.
     """
     if mode == "exact":
+        from svnet_tpu import config  # lazy: avoids an import cycle
+
+        if config.exact_selection == "pair":
+            wins = []
+            st = None
+            for j0 in range(0, k, _SEL_G):
+                tops = _top_group_pair(key, rows, min(_SEL_G, k - j0), st)
+                st = tops[-1]
+                wins += [t[1] for t in tops]
+            return wins
         wins = []
         m = jnp.max(key, axis=0, keepdims=True)
         for j in range(k):

@@ -157,3 +157,31 @@ def test_top_group_tournament_vs_sort():
             st = tops[-1]
             got += [np.asarray(t)[0] for t in tops]
         np.testing.assert_array_equal(np.stack(got), want[:24])
+
+
+def test_exact_pair_selection_matches_update():
+    """config.exact_selection='pair' (sorted-pair tournament) is BITWISE
+    identical to the production update-and-rescan loop in exact mode —
+    including distance ties (quantized coordinates force many) resolved to
+    the same min-row-id winner."""
+    from svnet_tpu import config
+
+    # heavy ties: coordinates snapped to a coarse grid + duplicated points
+    src = jax.random.normal(jax.random.PRNGKey(5), (B, N, S + 3 * V))
+    src = jnp.round(src * 2.0) / 2.0
+    src = src.at[:, N // 2 :].set(src[:, : N // 2])  # exact duplicates
+    folded = _folded(jax.random.PRNGKey(1))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+              binary=True, mode="exact", interpret=True)
+
+    s_u, v_u, g_u = sv_round3(src, folded, **kw)
+    jax.clear_caches()  # config is read at trace time
+    config.set_exact_selection("pair")
+    try:
+        s_p, v_p, g_p = sv_round3(src, folded, **kw)
+    finally:
+        config.set_exact_selection("update")
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_u))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_u))
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
