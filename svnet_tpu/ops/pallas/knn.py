@@ -45,6 +45,25 @@ def _knn_kernel(x_tile_ref, x_all_ref, out_ref, *, k: int, N: int, mode: str):
     cols = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
     key = _build_key(neg, cols, N, mode)
     if exact:
+        from svnet_tpu import config  # lazy: avoids an import cycle
+
+        if config.exact_selection == "pair":
+            # (value, col) sorted-pair tournament along LANES: identical
+            # exact semantics (min-col tie-break), _SEL_G ranks/traversal
+            from svnet_tpu.ops.pallas.sv_round3 import (
+                _SEL_G,
+                _top_group_pair,
+            )
+
+            st = None
+            for j0 in range(0, k, _SEL_G):
+                tops = _top_group_pair(
+                    key, cols, min(_SEL_G, k - j0), st, axis=1
+                )
+                st = tops[-1]
+                for g, (_, r) in enumerate(tops):
+                    out_ref[0, :, j0 + g] = r[:, 0]
+            return
         # f32-bit keys can TIE, so the update-and-rescan loop stands:
         # min-col-id among the current max (torch.topk tie-break), INT_MIN
         # scatter at the winner, fresh max. Threshold/no-write schemes

@@ -282,7 +282,7 @@ def _merge_sorted_pairs(a, b, gout):
     return out
 
 
-def _top_group_pair(val, row, G, st):
+def _top_group_pair(val, row, G, st, axis=0):
     """Top-G (value, row) pairs of one tournament sweep — exact mode.
 
     f32-bit sortable values TIE, but (value, row) pairs are unique, so the
@@ -290,20 +290,28 @@ def _top_group_pair(val, row, G, st):
     extract in increasing row order (the update-loop/torch.topk
     tie-break). ``st``: the last extracted pair — entries at or before it
     in the (v desc, r asc) order are masked inside the first merge level.
+    ``axis``: the candidate axis — 0 for the rounds' (W, T) keys, 1 for
+    knn_pallas's (T, N) keys; the merge itself is elementwise.
     """
-    n = val.shape[0]
+    if axis == 0:
+        cut = lambda x, n0, n1: x[n0:n1, :]
+    else:
+        cut = lambda x, n0, n1: x[:, n0:n1]
+    n = val.shape[axis]
     if n & (n - 1):  # non-power-of-2 candidate window
         p2 = 1 << (n - 1).bit_length()
-        padv = jnp.full((p2 - n, val.shape[1]), _INT_MIN, val.dtype)
-        padr = jnp.full((p2 - n, row.shape[1]), _BIG, row.dtype)
-        val = jnp.concatenate([val, padv], axis=0)
-        row = jnp.concatenate([row, padr], axis=0)
+        pad = [val.shape[0], val.shape[1]]
+        pad[axis] = p2 - n
+        padv = jnp.full(tuple(pad), _INT_MIN, val.dtype)
+        padr = jnp.full(tuple(pad), _BIG, row.dtype)
+        val = jnp.concatenate([val, padv], axis=axis)
+        row = jnp.concatenate([row, padr], axis=axis)
         n = p2
     lst = [(val, row)]
     while n > 1:
         n //= 2
-        a = [(v[:n, :], r[:n, :]) for v, r in lst]
-        b = [(v[n : 2 * n, :], r[n : 2 * n, :]) for v, r in lst]
+        a = [(cut(v, 0, n), cut(r, 0, n)) for v, r in lst]
+        b = [(cut(v, n, 2 * n), cut(r, n, 2 * n)) for v, r in lst]
         if st is not None:
             sv, sr = st
 

@@ -71,3 +71,23 @@ def test_edge_gather_smoke():
     np.testing.assert_allclose(
         np.asarray(got_grad), np.asarray(want_grad), rtol=3e-5, atol=3e-5
     )
+
+
+def test_knn_pallas_pair_selection_smoke():
+    """config.exact_selection='pair' in knn_pallas: identical neighbour
+    lists (incl. tie order) to ops.knn on a tie-heavy quantized cloud."""
+    from svnet_tpu import config
+    from svnet_tpu.ops.pallas.knn import knn_pallas
+
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, N, 6))
+    x = jnp.round(x * 2.0) / 2.0  # force distance ties
+    x = x.at[:, N // 2 :].set(x[:, : N // 2])  # exact duplicates
+    want = np.asarray(ops.knn(x, K))
+    jax.clear_caches()
+    config.set_exact_selection("pair")
+    try:
+        got = np.asarray(knn_pallas(x, K, tile=32, interpret=True))
+    finally:
+        config.set_exact_selection("update")
+        jax.clear_caches()
+    np.testing.assert_array_equal(got, want)

@@ -119,7 +119,13 @@ def main():
     ap.add_argument("--k", type=int, default=0)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--exact-selection", choices=["update", "pair"],
+                    default=None, help="training-path kNN top-k scheme A/B")
     args = ap.parse_args()
+    if args.exact_selection:
+        from svnet_tpu import config
+
+        config.set_exact_selection(args.exact_selection)
 
     N = args.num_points or (1024 if args.task == "cls" else 2048)
     K = args.k or (20 if args.task == "cls" else 40)
