@@ -88,11 +88,20 @@ def main():
         "--exact-selection", choices=["update", "pair"], default=None,
         help="exact-mode top-k scheme A/B (config.set_exact_selection)",
     )
+    ap.add_argument(
+        "--approx-fold", type=int, default=None,
+        help="approx-mode selection fold width L (config.set_approx_fold; "
+             "default 256 — wider = better recall, narrower = faster)",
+    )
     args = ap.parse_args()
     if args.exact_selection:
         from svnet_tpu import config
 
         config.set_exact_selection(args.exact_selection)
+    if args.approx_fold:
+        from svnet_tpu import config
+
+        config.set_approx_fold(args.approx_fold)
     # task-shape defaults (reference bench shapes: cls N=1024/k=20,
     # partseg N=2048/k=40 — main_cls_dgcnn.py:29, main_partseg_dgcnn.py:26-31)
     if args.batch is None:

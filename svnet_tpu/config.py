@@ -66,6 +66,22 @@ def set_binary_matmul(name: str) -> None:
     binary_matmul = name
 
 
+approx_fold: int = 256  # approx-mode selection fold width (sv_round3)
+
+
+def set_approx_fold(width: int) -> None:
+    """Approx-mode candidate fold width L (trace-time). The selection key
+    array is pairwise-max folded from N down to L columns before top-k
+    extraction, cutting the per-rank sweep cost ~N/L x at an expected
+    ~C(k,2)/L collided top-k pairs (PERF.md recall ledger: L=256 measures
+    0.997 recall on Morton-sorted surface clouds at N=1024/k=20). Raise L
+    for large N*k shapes (partseg) where collisions cost more recall;
+    L >= N disables the fold (approx == fast selection)."""
+    global approx_fold
+    assert width >= 64 and width % 2 == 0, width
+    approx_fold = width
+
+
 exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
 
 

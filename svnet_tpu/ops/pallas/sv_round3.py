@@ -47,13 +47,13 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from svnet_tpu import config
 from svnet_tpu.ops.pallas.sv_round2 import (
     MODES,
     _BIG,
     _INT_MIN,
     _idx_bits,
     _Q_BITS,
-    _APPROX_L,
 )
 
 EPS = 1e-6
@@ -170,7 +170,15 @@ def _build_key_t(neg, rows, N, mode, W=None, valid=None):
     """Keys over W candidate rows (W = N for a full scan); packed keys
     encode ABSOLUTE row ids (from ``rows``), so windowed/compacted
     selection returns global indices. ``valid`` masks compaction padding
-    to _INT_MIN BEFORE the approx fold can absorb it."""
+    to _INT_MIN BEFORE the approx fold can absorb it.
+
+    The approx fold halves the candidate width down to
+    ``config.approx_fold`` (trace-time knob, default 256): each fold
+    pairs distant halves (i, i+w) by key max, so the expected number of
+    collided top-k pairs is ~C(k,2)/L — raise the fold width for a
+    cheaper recall/speed trade at large N*k (partseg), lower it for
+    maximum selection-sweep savings. L >= W (e.g. fold=N) folds nothing
+    and makes approx selection identical to fast."""
     if mode == "exact":
         key = _sortable_ikey(neg)
     else:
@@ -179,7 +187,7 @@ def _build_key_t(neg, rows, N, mode, W=None, valid=None):
         key = jnp.where(valid, key, _INT_MIN)
     if mode == "approx":
         w = N if W is None else W
-        while w > _APPROX_L:
+        while w > config.approx_fold:
             assert w % 2 == 0, (N, w)
             w //= 2
             key = jnp.maximum(key[:w, :], key[w : 2 * w, :])
@@ -790,7 +798,7 @@ def sv_round3(
     if window and 0 < window < N:
         assert window % BS == 0 and window >= T, (window, T)
         if mode == "approx":
-            assert window % _APPROX_L == 0, window
+            assert window % 2 == 0, window
         keep, ok = _prune_prepass(src, k, T, window)
         s_out, v_out, ssum = jax.lax.cond(
             ok,
@@ -1088,7 +1096,7 @@ def sv_round3_first(
     if window and 0 < window < N:
         assert window % BS == 0 and window >= T, (window, T)
         if mode == "approx":
-            assert window % _APPROX_L == 0, window
+            assert window % 2 == 0, window
         keep, ok = _prune_prepass(points, k, T, window)
         s_out, v_out, ssum = jax.lax.cond(
             ok,

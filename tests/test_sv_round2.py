@@ -140,30 +140,34 @@ def test_round2_first_exact_matches_round1(cross):
     np.testing.assert_allclose(np.asarray(g2), np.asarray(g1), rtol=1e-5, atol=1e-6)
 
 
-def _fold_recall(x, k=20):
-    """Recall of the approx fold-256 selection vs exact top-k, replicating
+def _fold_recall(x, k=20, L=256):
+    """Recall of the approx fold-L selection vs exact top-k, replicating
     the kernel's key math (quantized distance + reversed column, pairwise
-    max fold to 256 lanes) in numpy."""
+    max fold to L lanes) in numpy."""
     from svnet_tpu import ops
+    from svnet_tpu.ops.pallas.sv_round2 import _idx_bits, _Q_BITS
 
     B, N = x.shape[0], x.shape[1]
+    ib = _idx_bits(N)
+    qbits = min(_Q_BITS, 31 - ib)
     exact_idx = np.asarray(ops.knn(x, k))
     neg = ops.pairwise_neg_sqdist(x)
     cols = jnp.arange(N, dtype=jnp.int32)
     worst = jnp.min(neg, axis=(1, 2), keepdims=True)
-    scale = jnp.float32(-(1 << 18)) / jnp.minimum(worst, -1e-12)
+    scale = jnp.float32(-(1 << qbits)) / jnp.minimum(worst, -1e-12)
     q = jnp.maximum(jnp.floor(neg * scale).astype(jnp.int32),
-                    jnp.int32(-(1 << 18) + 1))
-    key = q * 8192 + (8191 - cols)[None, None, :]
+                    jnp.int32(-(1 << qbits) + 1))
+    ibm = 1 << ib
+    key = q * ibm + (ibm - 1 - cols)[None, None, :]
     w = N
-    while w > 256:
+    while w > L:
         w //= 2
         key = jnp.maximum(key[..., :w], key[..., w : 2 * w])
     got = []
     key = np.asarray(key)
     for _ in range(k):
         m = key.max(axis=-1, keepdims=True)
-        got.append(8191 - (m[..., 0] % 8192))
+        got.append(ibm - 1 - (m[..., 0] % ibm))
         key = np.where(key == m, -(2**31) + 1, key)
     got = np.stack(got, axis=-1)
     return np.mean([
@@ -205,6 +209,23 @@ def test_approx_selection_recall_surface():
     r_shuffled = _fold_recall(pts)
     assert r_sorted > 0.90, r_sorted
     assert r_shuffled > 0.90, r_shuffled
+
+
+def test_approx_fold_width_recall_partseg_shapes():
+    """config.approx_fold recall trade at partseg shapes (N=2048, k=40,
+    Morton-sorted surface clouds): widening the fold from 256 to 1024
+    must recover recall (expected collided pairs ~C(k,2)/L). Measured
+    values recorded in PERF.md."""
+    from svnet_tpu.ops.pallas.sv_round3 import morton_order
+
+    pts = _surface_clouds(11, 2, 2048)
+    perm = morton_order(pts)
+    pts = jnp.take_along_axis(pts, perm[..., None], axis=1)
+    r256 = _fold_recall(pts, k=40, L=256)
+    r1024 = _fold_recall(pts, k=40, L=1024)
+    assert r1024 >= r256, (r256, r1024)
+    assert r1024 > 0.97, r1024
+    assert r256 > 0.88, r256
 
 
 def test_approx_selection_recall():

@@ -99,6 +99,31 @@ def test_round3_approx_shapes_finite():
     assert np.isfinite(np.asarray(s)).all() and np.isfinite(np.asarray(v)).all()
 
 
+def test_round3_approx_fold_width_knob():
+    """config.approx_fold trades fold width for recall: with L >= N the
+    fold is a no-op and approx must match fast BITWISE (same packed keys,
+    same selection, same gathers); an intermediate width still returns
+    finite outputs of the right shape."""
+    from svnet_tpu import config
+
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 512, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(3))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
+              binary=True, interpret=True)
+    fast = sv_round3(src, folded, mode="fast", **kw)
+    old = config.approx_fold
+    try:
+        config.set_approx_fold(512)
+        a_nofold = sv_round3(src, folded, mode="approx", **kw)
+        config.set_approx_fold(128)
+        a_128 = sv_round3(src, folded, mode="approx", **kw)
+    finally:
+        config.approx_fold = old
+    for got, want in zip(a_nofold, fast):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    assert all(np.isfinite(np.asarray(x)).all() for x in a_128)
+
+
 def test_prune_compaction_exact_matches_full():
     """Morton block-skipping (certified compaction) returns bitwise the
     full scan's results in exact mode; the uncertified path falls back."""
