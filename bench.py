@@ -110,7 +110,7 @@ def main():
         args.num_points = 1024 if args.task == "cls" else 2048
     if args.k is None:
         args.k = 20 if args.task == "cls" else 40
-    if args.fast:
+    if args.fast and args.mode is None:  # deprecated alias, never overrides
         args.mode = "fast"
     modes = [args.mode] if args.mode else args.modes.split(",")
 
@@ -121,25 +121,9 @@ def main():
             return jax.random.normal(
                 jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
             )
-        import numpy as np
+        from svnet_tpu.utils.synth import morton_sorted_surface_clouds
 
-        from svnet_tpu.ops.pallas.sv_round3 import morton_order
-
-        rng = np.random.default_rng(0)
-        clouds = []
-        for _ in range(args.batch):
-            p = rng.normal(size=(args.num_points, 3))
-            p /= np.linalg.norm(p, axis=1, keepdims=True)
-            for _ in range(3):
-                c = rng.normal(size=3)
-                c /= np.linalg.norm(c)
-                p += 0.15 * np.exp(
-                    -np.sum((p - c) ** 2, 1) / 0.3
-                )[:, None] * (p - c)
-            clouds.append(p.astype(np.float32))
-        pts = jnp.asarray(np.stack(clouds))
-        perm = morton_order(pts)
-        return jnp.take_along_axis(pts, perm[..., None], axis=1)
+        return morton_sorted_surface_clouds(0, args.batch, args.num_points)
 
     dgcnn = args.arch == "dgcnn"
     if args.task == "cls":

@@ -28,6 +28,16 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,
 }
 
+
+def _invalidate():
+    """Config knobs are trace-time globals read inside jitted functions
+    (sv_round3, knn_pallas, the engines' _jit_forward, ...), so they are
+    NOT part of jax's compilation cache key: flipping a knob between
+    same-shape calls would silently reuse executables compiled under the
+    old value. Every setter clears the jit cache to make the re-jit the
+    docstring promises actually happen."""
+    jax.clear_caches()
+
 knn_precision: str = "highest"
 binary_matmul: str = "int8"
 knn_impl: str = "auto"  # 'auto' | 'xla' | 'pallas'
@@ -42,18 +52,21 @@ def set_edge_gather(name: str) -> None:
     global edge_gather
     assert name in ("auto", "xla", "pallas"), name
     edge_gather = name
+    _invalidate()
 
 
 def set_knn_impl(name: str) -> None:
     global knn_impl
     assert name in ("auto", "xla", "pallas"), name
     knn_impl = name
+    _invalidate()
 
 
 def set_knn_precision(name: str) -> None:
     global knn_precision
     assert name in _PRECISIONS, name
     knn_precision = name
+    _invalidate()
 
 
 def get_knn_precision():
@@ -64,6 +77,7 @@ def set_binary_matmul(name: str) -> None:
     global binary_matmul
     assert name in ("int8", "f32"), name
     binary_matmul = name
+    _invalidate()
 
 
 approx_fold: int = 256  # approx-mode selection fold width (sv_round3)
@@ -80,6 +94,7 @@ def set_approx_fold(width: int) -> None:
     global approx_fold
     assert width >= 64 and width % 2 == 0, width
     approx_fold = width
+    _invalidate()
 
 
 exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
@@ -94,6 +109,7 @@ def set_exact_selection(name: str) -> None:
     global exact_selection
     assert name in ("update", "pair"), name
     exact_selection = name
+    _invalidate()
 
 
 def set_fused_train(name: str) -> None:
@@ -102,3 +118,4 @@ def set_fused_train(name: str) -> None:
     global fused_train
     assert name in ("auto", "on", "off"), name
     fused_train = name
+    _invalidate()

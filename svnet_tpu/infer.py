@@ -269,8 +269,8 @@ class SVDGCNNClsEngine:
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
             if self.rounds_impl in ("round", "round2", "round3"):
-                t_round = _auto_round_tile(N, self.tile, k, S + 3 * V, self.mode)
                 if self.rounds_impl == "round3":
+                    # round3 sizes its own tiles (no _auto_round_tile)
                     so, vo, se_mean = sv_round3(
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k,
@@ -278,6 +278,9 @@ class SVDGCNNClsEngine:
                         interpret=self.interpret, window=self.window,
                     )
                 elif self.rounds_impl == "round2":
+                    t_round = _auto_round_tile(
+                        N, self.tile, k, S + 3 * V, self.mode
+                    )
                     so, vo, se_mean = sv_round2(
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,
@@ -285,6 +288,9 @@ class SVDGCNNClsEngine:
                         interpret=self.interpret,
                     )
                 else:
+                    t_round = _auto_round_tile(
+                        N, self.tile, k, S + 3 * V, self.mode
+                    )
                     so, vo, se_mean = sv_round(
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k, T=t_round,

@@ -308,12 +308,18 @@ def _top_group_pair(val, row, G, st, axis=0):
     n = val.shape[axis]
     if n & (n - 1):  # non-power-of-2 candidate window
         p2 = 1 << (n - 1).bit_length()
-        pad = [val.shape[0], val.shape[1]]
-        pad[axis] = p2 - n
-        padv = jnp.full(tuple(pad), _INT_MIN, val.dtype)
-        padr = jnp.full(tuple(pad), _BIG, row.dtype)
-        val = jnp.concatenate([val, padv], axis=axis)
-        row = jnp.concatenate([row, padr], axis=axis)
+        # pad val and row from their OWN shapes: the rounds pass rows as a
+        # broadcastable (W, 1) column while val is (W, T)
+        padv = [val.shape[0], val.shape[1]]
+        padv[axis] = p2 - n
+        padr = [row.shape[0], row.shape[1]]
+        padr[axis] = p2 - n
+        val = jnp.concatenate(
+            [val, jnp.full(tuple(padv), _INT_MIN, val.dtype)], axis=axis
+        )
+        row = jnp.concatenate(
+            [row, jnp.full(tuple(padr), _BIG, row.dtype)], axis=axis
+        )
         n = p2
     lst = [(val, row)]
     while n > 1:
@@ -663,6 +669,15 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
         d2s.append(jnp.sum(diff * diff, axis=-1))
     d2 = jnp.stack(d2s, axis=-1)  # (B, N, band)
     tau = -jax.lax.top_k(-d2, k)[0][..., k - 1]  # kth smallest dist^2
+    # float-safety margin: tau/lb2 use the direct (x-y)^2 form, but the
+    # kernel RANKS by the cancellation-prone 2<x,y> - |x|^2 - |y|^2 form,
+    # whose absolute error is O(eps_f32 * |x|^2). Inflate tau by a bound
+    # on that error (~40 ulps of the largest squared norm) so a pruned
+    # block can never hold a row the kernel's own ordering would select —
+    # keeping the certificate exact under BOTH distance forms. The
+    # inflation is ~1e-5 of the cloud's scale^2: pruning loss is nil.
+    mx = jnp.max(jnp.sum(src * src, axis=-1), axis=1)  # (B,)
+    tau = tau + (1e-5 * mx + 1e-30)[:, None]
 
     xb = src.reshape(B, nb, BS, C)
     lo = jnp.min(xb, axis=2)  # (B, nb, C)

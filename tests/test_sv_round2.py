@@ -177,21 +177,12 @@ def _fold_recall(x, k=20, L=256):
 
 
 def _surface_clouds(seed, B, N):
-    """Deformed-sphere surface clouds (the bench --surface generator's
-    shape family): clustered real-surface geometry, NOT N(0,1) noise."""
-    rng = np.random.default_rng(seed)
-    clouds = []
-    for _ in range(B):
-        p = rng.normal(size=(N, 3))
-        p /= np.linalg.norm(p, axis=1, keepdims=True)
-        for _ in range(3):
-            c = rng.normal(size=3)
-            c /= np.linalg.norm(c)
-            p += 0.15 * np.exp(-np.sum((p - c) ** 2, 1) / 0.3)[:, None] * (
-                p - c
-            )
-        clouds.append(p.astype(np.float32))
-    return jnp.asarray(np.stack(clouds))
+    """Deformed-sphere surface clouds — the bench --surface generator
+    itself (svnet_tpu/utils/synth.py), so the recall characterization
+    runs on exactly the benched data distribution."""
+    from svnet_tpu.utils.synth import surface_clouds
+
+    return jnp.asarray(surface_clouds(seed, B, N))
 
 
 def test_approx_selection_recall_surface():

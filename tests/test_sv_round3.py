@@ -184,6 +184,32 @@ def test_top_group_tournament_vs_sort():
         np.testing.assert_array_equal(np.stack(got), want[:24])
 
 
+def test_top_group_pair_broadcast_rows_nonpow2():
+    """Regression: _top_group_pair pads rows from row's OWN shape — the
+    rounds pass rows as a broadcastable (W, 1) column while values are
+    (W, T); a non-power-of-2 candidate window (e.g. Morton W = 3N/4)
+    previously built a (p2-n, T) row pad and crashed at trace time."""
+    from svnet_tpu.ops.pallas.sv_round3 import _BIG, _top_group_pair
+
+    rng = np.random.default_rng(7)
+    W, T = 384, 8  # non-pow2 candidate window
+    vals = jnp.asarray(
+        rng.integers(-(2**20), 2**20, size=(W, T)).astype(np.int32)
+    )
+    rows = jnp.arange(W, dtype=jnp.int32)[:, None]  # (W, 1) broadcast
+    tops = _top_group_pair(vals, rows, 4, None)
+    v = np.asarray(vals)
+    order = np.lexsort((np.broadcast_to(np.arange(W)[:, None], v.shape), -v),
+                       axis=0)
+    for g in range(4):
+        np.testing.assert_array_equal(
+            np.asarray(tops[g][0])[0], np.take_along_axis(
+                v, order[g : g + 1], axis=0)[0])
+        np.testing.assert_array_equal(
+            np.asarray(tops[g][1])[0], order[g])
+        assert int(np.asarray(tops[g][1]).max()) < _BIG
+
+
 def test_exact_pair_selection_matches_update():
     """config.exact_selection='pair' (sorted-pair tournament) is BITWISE
     identical to the production update-and-rescan loop in exact mode —

@@ -76,9 +76,7 @@ def main():
     args = ap.parse_args()
 
     from svnet_tpu import models
-    from svnet_tpu.ops.pallas.sv_round3 import (
-        sv_round3, sv_round3_first, morton_order,
-    )
+    from svnet_tpu.ops.pallas.sv_round3 import sv_round3, sv_round3_first
     from svnet_tpu.ops.pallas.sv_point import sv_point_block
 
     if args.task == "cls":
@@ -107,12 +105,12 @@ def main():
 
     rng = jax.random.PRNGKey(0)
     if args.surface:
-        # deformed spheres, Morton-sorted: the window's target distribution
-        u = jax.random.normal(rng, (B, N, 3))
-        pts = u / jnp.linalg.norm(u, axis=-1, keepdims=True)
-        pts = pts * (1.0 + 0.2 * jnp.sin(4.0 * pts[..., :1]))
-        perm = morton_order(pts)
-        pts = jnp.take_along_axis(pts, perm[..., None], axis=1)
+        # deformed spheres, Morton-sorted: the window's target
+        # distribution (the SAME generator bench.py and the recall tests
+        # use — svnet_tpu/utils/synth.py)
+        from svnet_tpu.utils.synth import morton_sorted_surface_clouds
+
+        pts = morton_sorted_surface_clouds(0, B, N)
     else:
         pts = jax.random.normal(rng, (B, N, 3))
 

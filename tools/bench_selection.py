@@ -37,7 +37,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from svnet_tpu.ops.pallas.sv_round2 import _BIG, _INT_MIN, _idx_bits
-from svnet_tpu.ops.pallas.sv_round3 import _packed_key_t, _sortable_ikey
+from svnet_tpu.ops.pallas.sv_round3 import (
+    _packed_key_t,
+    _sortable_ikey,
+    _top_group,
+    _top_group_pair,
+)
 
 ROUNDTRIP_MS = 26.0
 
@@ -54,115 +59,9 @@ def _tree_max(x, leaf=8):
     return jnp.max(x, axis=0, keepdims=True)
 
 
-def _merge_sorted(a, b, gout):
-    """Top-``gout`` of two descending sorted lists (lists of (n, T) arrays).
-
-    c_i = max over (ka, j) with ka + j = i of min(a_ka, b_j), where the
-    0-th element is a +inf sentinel (drop the min) and out-of-range
-    elements are -inf sentinels (drop the candidate).
-    """
-    out = []
-    for i in range(1, gout + 1):
-        cands = []
-        for j in range(0, i + 1):
-            ka = i - j
-            if ka > len(a) or j > len(b):
-                continue
-            if ka == 0:
-                cands.append(b[j - 1])
-            elif j == 0:
-                cands.append(a[ka - 1])
-            else:
-                cands.append(jnp.minimum(a[ka - 1], b[j - 1]))
-        c = cands[0]
-        for x in cands[1:]:
-            c = jnp.maximum(c, x)
-        out.append(c)
-    return out
-
-
-def _topG(x, G, st=None):
-    """x (n, T) with UNIQUE values -> list of G (1, T) descending.
-
-    ``st``: optional exclusive upper threshold — entries >= st are masked
-    to -inf INSIDE the first merge level (on the two half-slices), saving
-    the full-size eligibility temp a separate where() would materialize.
-    """
-    n = x.shape[0]
-    lst = [x]
-    while n > 1:
-        n //= 2
-        a = [v[:n, :] for v in lst]
-        b = [v[n : 2 * n, :] for v in lst]
-        if st is not None:
-            a = [jnp.where(v < st, v, _INT_MIN) for v in a]
-            b = [jnp.where(v < st, v, _INT_MIN) for v in b]
-            st = None
-        lst = _merge_sorted(a, b, min(G, 2 * len(lst)))
-    if len(lst) < G:
-        raise ValueError("n too small for G")
-    return lst[:G]
-
-
-def _pmax(p, q):
-    """Pair max under (value desc, row asc) — the exact-mode total order."""
-    c = (p[0] > q[0]) | ((p[0] == q[0]) & (p[1] < q[1]))
-    return jnp.where(c, p[0], q[0]), jnp.where(c, p[1], q[1])
-
-
-def _pmin(p, q):
-    c = (p[0] > q[0]) | ((p[0] == q[0]) & (p[1] < q[1]))
-    return jnp.where(c, q[0], p[0]), jnp.where(c, q[1], p[1])
-
-
-def _merge_sorted_pair(a, b, gout):
-    out = []
-    for i in range(1, gout + 1):
-        cands = []
-        for j in range(0, i + 1):
-            ka = i - j
-            if ka > len(a) or j > len(b):
-                continue
-            if ka == 0:
-                cands.append(b[j - 1])
-            elif j == 0:
-                cands.append(a[ka - 1])
-            else:
-                cands.append(_pmin(a[ka - 1], b[j - 1]))
-        c = cands[0]
-        for x in cands[1:]:
-            c = _pmax(c, x)
-        out.append(c)
-    return out
-
-
-def _topG_pair(v, r, G, st=None):
-    """Exact-mode top-G: (value, row) pairs ordered (v desc, r asc).
-
-    Pairs are unique even when f32-bit values tie, so the threshold
-    scheme stays valid and ties come out in increasing row order
-    (torch.topk tie-break). ``st``: last extracted pair."""
-    n = v.shape[0]
-    lst = [(v, r)]
-    while n > 1:
-        n //= 2
-        a = [(pv[:n, :], pr[:n, :]) for pv, pr in lst]
-        b = [(pv[n : 2 * n, :], pr[n : 2 * n, :]) for pv, pr in lst]
-        if st is not None:
-            mv, mr = st
-
-            def _mask(p):
-                keep = (p[0] < mv) | ((p[0] == mv) & (p[1] > mr))
-                return (
-                    jnp.where(keep, p[0], _INT_MIN),
-                    jnp.where(keep, p[1], _BIG),
-                )
-
-            a = [_mask(p) for p in a]
-            b = [_mask(p) for p in b]
-            st = None
-        lst = _merge_sorted_pair(a, b, min(G, 2 * len(lst)))
-    return lst[:G]
+# The tournament machinery itself (_merge_sorted_keys, _top_group,
+# _top_group_pair) is imported from the SHIPPED kernel module so the A/B
+# measures production code, not a copy.
 
 
 def _sel_kernel(x_ref, out_ref, *, k: int, N: int, variant: str):
@@ -189,7 +88,7 @@ def _sel_kernel(x_ref, out_ref, *, k: int, N: int, variant: str):
         rowsT = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
         st = None
         for j0 in range(0, k, G):
-            tops = _topG_pair(key, rowsT, G, st)
+            tops = _top_group_pair(key, rowsT, G, st)
             st = tops[-1]
             for g in range(min(G, k - j0)):
                 out_ref[0, j0 + g, :] = tops[g][1][0]
@@ -217,10 +116,10 @@ def _sel_kernel(x_ref, out_ref, *, k: int, N: int, variant: str):
         st = None
         for j0 in range(0, k, G):
             if fused:
-                tops = _topG(key, G, st)
+                tops = _top_group(key, G, st)
             else:
                 elig = key if st is None else jnp.where(key < st, key, _INT_MIN)
-                tops = _topG(elig, G)
+                tops = _top_group(elig, G, None)
             st = tops[-1]
             for g in range(min(G, k - j0)):
                 out_ref[0, j0 + g, :] = _win(tops[g], ib)[0]

@@ -109,6 +109,72 @@ def bench(task, impl, B, N, K, iters, repeats):
     )
 
 
+def ablate(task, B, N, K, iters, repeats, legs):
+    """Stage-ablation legs (cls only): attribute the step cost before
+    optimizing — train-mode forward, the XLA kNN, and the graph-feature
+    gather fwd+bwd, each under the same chained-iteration timing."""
+    from svnet_tpu import ops
+
+    model, state, batch, loss_fn, with_label = setup(task, B, N, K)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    def timeit(make_carry, body, fetch):
+        @jax.jit
+        def timed():
+            return fetch(jax.lax.fori_loop(0, iters, body, make_carry()))
+
+        float(timed())
+        ts = []
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            float(timed())
+            ts.append(time.perf_counter() - t0)
+        return (statistics.median(ts) * 1e3 - ROUNDTRIP_MS) / iters
+
+    points = batch["points"]
+    if "fwd" in legs:
+        def body(i, pts):
+            out = model.apply(variables, pts, True,
+                              rngs={"dropout": jax.random.PRNGKey(0)},
+                              mutable=["batch_stats"])[0]
+            return pts + 1e-12 * jnp.mean(out)
+
+        ms = timeit(lambda: points, body,
+                    lambda p: jnp.sum(model.apply(
+                        variables, p, True,
+                        rngs={"dropout": jax.random.PRNGKey(0)},
+                        mutable=["batch_stats"])[0]))
+        print(f"train-mode forward only: {ms:.1f} ms", flush=True)
+
+    if "knn" in legs:
+        joint = jax.random.normal(jax.random.PRNGKey(3), (B, N, 62))
+
+        def body(i, x):
+            idx = ops.knn(x, K)
+            return x + 1e-12 * jnp.mean(idx.astype(jnp.float32))
+
+        ms = timeit(lambda: joint, body,
+                    lambda x: jnp.sum(ops.knn(x, K).astype(jnp.float32)))
+        print(f"XLA knn (C=62) x1: {ms:.1f} ms", flush=True)
+
+    if "gather" in legs:
+        from svnet_tpu.ops.graph import get_graph_feature_sv
+
+        s = jax.random.normal(jax.random.PRNGKey(4), (B, N, 32))
+        v = jax.random.normal(jax.random.PRNGKey(5), (B, N, 3, 10))
+
+        def one(sv):
+            s_f, v_f = get_graph_feature_sv(sv, K)
+            return jnp.mean(s_f) + jnp.mean(v_f)
+
+        def body(i, sv):
+            g = jax.grad(one)((sv[0], sv[1]))
+            return (sv[0] + 1e-12 * g[0], sv[1] + 1e-12 * g[1])
+
+        ms = timeit(lambda: (s, v), body, lambda sv: jnp.sum(sv[0][0, 0]))
+        print(f"graph feature sv fwd+bwd x1: {ms:.1f} ms", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--task", choices=["cls", "partseg"], default="cls")
@@ -121,6 +187,8 @@ def main():
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--exact-selection", choices=["update", "pair"],
                     default=None, help="training-path kNN top-k scheme A/B")
+    ap.add_argument("--legs", default="",
+                    help="extra stage-ablation legs: fwd,knn,gather")
     args = ap.parse_args()
     if args.exact_selection:
         from svnet_tpu import config
@@ -132,6 +200,9 @@ def main():
     impls = ["fused", "xla"] if args.impl == "both" else [args.impl]
     for impl in impls:
         bench(args.task, impl, args.batch, N, K, args.iters, args.repeats)
+    if args.legs:
+        ablate(args.task, args.batch, N, K, args.iters, args.repeats,
+               args.legs.split(","))
 
 
 if __name__ == "__main__":

@@ -76,10 +76,6 @@ def cylinder(rng, n, caps=False, cap_sphere=False, h=1.0):
             break
         if cap_sphere:
             d = _unit(rng.normal(size=(nc, 3)))
-            d[:, 2] = np.abs(d[:, 2]) * s
-            cap = d * 1.0
-            cap[:, 2] += s * h
-            cap[:, :2] = d[:, :2]
             cap = np.stack([d[:, 0], d[:, 1], s * (h + np.abs(d[:, 2]))], 1)
         else:
             r = np.sqrt(rng.uniform(0, 1, nc))
