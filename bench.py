@@ -93,7 +93,16 @@ def main():
         help="approx-mode selection fold width L (config.set_approx_fold; "
              "default 256 — wider = better recall, narrower = faster)",
     )
+    ap.add_argument(
+        "--approx-gather-bits", type=int, default=None, choices=[8, 16],
+        help="approx-mode gather precision (config.set_approx_gather_bits; "
+             "8 = one int8 plane, half the gather MXU cost)",
+    )
     args = ap.parse_args()
+    if args.approx_gather_bits:
+        from svnet_tpu import config
+
+        config.set_approx_gather_bits(args.approx_gather_bits)
     if args.exact_selection:
         from svnet_tpu import config
 

@@ -97,6 +97,24 @@ def set_approx_fold(width: int) -> None:
     _invalidate()
 
 
+approx_gather_bits: int = 16  # approx-mode gather precision (sv_round3)
+
+
+def set_approx_gather_bits(bits: int) -> None:
+    """Approx-mode one-hot gather precision (trace-time): 16 (default,
+    two int8 planes — the fast mode's representation, ~2^-15 absolute
+    error) or 8 (ONE int8 plane, ~2^-8 absolute of the per-channel max —
+    HALF the gather's MXU cost). After the selection fold, the gather is
+    what binds an approx round at partseg shapes (k=40, conv4 C=127);
+    centres decode through the same grid, so self-edges still cancel
+    exactly. A/B on-chip and validate on a trained checkpoint before
+    serving with 8."""
+    global approx_gather_bits
+    assert bits in (8, 16), bits
+    approx_gather_bits = bits
+    _invalidate()
+
+
 exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
 
 

@@ -116,6 +116,35 @@ def pack_planes_fast_t(xT: jax.Array):
     return planes, (1.0 / scale).reshape(C, 1)
 
 
+def pack_planes_q8_t(xT: jax.Array):
+    """f32 (B, C, N) -> (int8 (B, stride, N) plane, f32 (C, 1) inv).
+
+    Per-channel symmetric int8 fixed-point: ONE gather plane (HALF the
+    fast mode's one-hot MXU cost), ~2^-8 ABSOLUTE error of the
+    per-channel max. The approx-mode gather option
+    (config.approx_gather_bits = 8): after the selection fold, the
+    gather is what binds an approx round at partseg shapes (k=40,
+    conv4's C=127), so halving its width is the next lever. Centres
+    decode through the SAME grid, so self-edges still cancel exactly.
+    """
+    B, C, N = xT.shape
+    P = _plane_stride_t(C)
+    amax = jnp.max(jnp.abs(xT), axis=(0, 2))  # (C,)
+    scale = jnp.float32(127.0) / jnp.maximum(amax, 1e-30)
+    q = jnp.clip(jnp.round(xT * scale[None, :, None]), -127, 127)
+    planes = jnp.pad(q.astype(jnp.int8), ((0, 0), (0, P - C), (0, 0)))
+    return planes, (1.0 / scale).reshape(C, 1)
+
+
+def _decode_q8_t(g: jax.Array, invT: jax.Array, C: int) -> jax.Array:
+    """int32 (stride, T) gathered q8 plane -> f32 (C, T)."""
+    return g[0:C, :].astype(jnp.float32) * invT
+
+
+def _decode_ctr_q8_t(cpl: jax.Array, invT: jax.Array, C: int) -> jax.Array:
+    return cpl[0:C, :].astype(jnp.int32).astype(jnp.float32) * invT
+
+
 def _decode_exact_t(g: jax.Array, C: int) -> jax.Array:
     """int32 (4*stride, T) gathered bit-planes -> f32 (C, T).
 
@@ -416,7 +445,7 @@ def _round3_kernel(
     s_out_ref, v_out_ref, ssum_ref,
     nbr_scratch, *cmp_scratch,
     S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
-    W: int, binary: bool, mode: str,
+    W: int, binary: bool, mode: str, gb8: bool = False,
 ):
     C = S + 3 * V
     twoV = 2 * V
@@ -429,7 +458,9 @@ def _round3_kernel(
         ctr_g = ctrT_raw  # bit-exact gather: self-edges cancel exactly
     else:
         cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
-        ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
+        ctr_g = (_decode_ctr_q8_t if gb8 else _decode_ctr_fast_t)(
+            cpl, invT_ref[:], C
+        )
 
     # ---- phase 1: distances + keys over the candidate rows ----
     # W == N: full scan. W < N: prepass-certified per-tile block skipping —
@@ -500,9 +531,12 @@ def _round3_kernel(
                 planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
             )  # (PC, T)
-            nbr = (
-                _decode_exact_t(g, C) if exact else _decode_fast_t(g, invT_ref[:], C)
-            )
+            if exact:
+                nbr = _decode_exact_t(g, C)
+            elif gb8:
+                nbr = _decode_q8_t(g, invT_ref[:], C)
+            else:
+                nbr = _decode_fast_t(g, invT_ref[:], C)
             nbr_scratch[:, r * T : (r + 1) * T] = nbr
 
         L = R * T
@@ -594,7 +628,10 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     (~4C + 4(2S+6V) + 2S_out + 5V_out rows of f32).
     """
     budget = 11 * 1024 * 1024
-    fixed = N * C * 4 * 2 + N * (4 if mode == "exact" else 2) * _plane_stride_t(C)
+    nplanes = 4 if mode == "exact" else (
+        1 if mode == "approx" and config.approx_gather_bits == 8 else 2
+    )
+    fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
     per_t = N * 4 * (5 if mode == "exact" else 4)
     # Mosaic requires the block's lane dim be a multiple of 128 or the full
     # array dim: T is either N (small clouds) or a multiple-of-128 divisor
@@ -729,10 +766,14 @@ def sv_round3(
     exact = mode == "exact"
 
     srcT = jnp.swapaxes(src, 1, 2)  # (B, C, N)
+    gb8 = mode == "approx" and config.approx_gather_bits == 8
     if exact:
         planesT = pack_planes_exact_t(srcT)
         invT = jnp.ones((C, 1), jnp.float32)
         PC = 4 * _plane_stride_t(C)
+    elif gb8:
+        planesT, invT = pack_planes_q8_t(srcT)
+        PC = _plane_stride_t(C)
     else:
         planesT, invT = pack_planes_fast_t(srcT)
         PC = 2 * _plane_stride_t(C)
@@ -768,7 +809,7 @@ def sv_round3(
             functools.partial(
                 _round3_kernel,
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W,
-                binary=binary, mode=mode,
+                binary=binary, mode=mode, gb8=gb8,
             ),
             grid=(B, nt),
             in_specs=[
@@ -842,7 +883,7 @@ def _round3_first_kernel(
     s_out_ref, v_out_ref, ssum_ref,
     *cmp_scratch,
     S_out: int, V_out: int, k: int, R: int, T: int, N: int, W: int,
-    mode: str, cross: bool,
+    mode: str, cross: bool, gb8: bool = False,
 ):
     """First fused round, transposed. All quantities are single (1, L) rows
     (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
@@ -861,7 +902,9 @@ def _round3_first_kernel(
         ctr_g = ctrT_raw
     else:
         cpl = planesT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
-        ctr_g = _decode_ctr_fast_t(cpl, invT_ref[:], C)
+        ctr_g = (_decode_ctr_q8_t if gb8 else _decode_ctr_fast_t)(
+            cpl, invT_ref[:], C
+        )
 
     if W == N:
         pts_w = pts_ref[0]  # (N, 3)
@@ -921,7 +964,8 @@ def _round3_first_kernel(
                 preferred_element_type=jnp.int32,
             )  # (PC, T)
             nbr_cols.append(
-                _decode_exact_t(g, C) if exact else _decode_fast_t(g, invT_ref[:], C)
+                _decode_exact_t(g, C) if exact else
+                (_decode_q8_t if gb8 else _decode_fast_t)(g, invT_ref[:], C)
             )
         nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L) — tiny, no scratch
 
@@ -1034,10 +1078,14 @@ def sv_round3_first(
     exact = mode == "exact"
 
     ptsT = jnp.swapaxes(points, 1, 2)  # (B, 3, N)
+    gb8 = mode == "approx" and config.approx_gather_bits == 8
     if exact:
         planesT = pack_planes_exact_t(ptsT)
         invT = jnp.ones((3, 1), jnp.float32)
         PC = 4 * _plane_stride_t(3)
+    elif gb8:
+        planesT, invT = pack_planes_q8_t(ptsT)
+        PC = _plane_stride_t(3)
     else:
         planesT, invT = pack_planes_fast_t(ptsT)
         PC = 2 * _plane_stride_t(3)
@@ -1067,7 +1115,7 @@ def sv_round3_first(
             functools.partial(
                 _round3_first_kernel,
                 S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W, mode=mode,
-                cross=cross,
+                cross=cross, gb8=gb8,
             ),
             grid=(B, nt),
             in_specs=[

