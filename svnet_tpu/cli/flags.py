@@ -92,6 +92,17 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
              "bit-exact f32; fast = 16-bit fixed-point gather + quantized "
              "selection; approx = fast + folded-bin selection (recall ~0.96)",
     )
+    p.add_argument(
+        "--approx-fold", type=int, default=0, metavar="L",
+        help="approx-mode selection fold width (config.set_approx_fold; "
+             "0 = keep the default 256 — wider folds recover recall at "
+             "large N*k, PERF.md ledger)",
+    )
+    p.add_argument(
+        "--approx-gather-bits", type=int, default=0, choices=[0, 8, 16],
+        help="approx-mode gather precision (config.set_approx_gather_bits; "
+             "8 = one int8 plane, half the gather MXU cost; 0 = default 16)",
+    )
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas inference engine for --test"
                         " evaluation (svnet+dgcnn only)")

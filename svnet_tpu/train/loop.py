@@ -172,11 +172,21 @@ def _make_state(args, model, init_batch, steps_per_epoch, with_label=False):
     )
 
 
+def _apply_approx_knobs(args) -> None:
+    """CLI -> config: approx-mode serving knobs (trace-time; the setters
+    clear the jit cache)."""
+    if getattr(args, "approx_fold", 0):
+        config.set_approx_fold(args.approx_fold)
+    if getattr(args, "approx_gather_bits", 0):
+        config.set_approx_gather_bits(args.approx_gather_bits)
+
+
 def run_cls(args) -> Optional[float]:
     """Classification driver (ModelNet40 / ScanObjectNN)."""
     args.task = "cls"
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    _apply_approx_knobs(args)
     log_string = configure_logging(args.save_dir, "cls")
     epoch_string = configure_logging(args.save_dir, "cls", "log")
     epoch_string(str(vars(args)))
@@ -598,6 +608,7 @@ def run_partseg(args) -> Optional[float]:
     args.task = "partseg"
     if getattr(args, "debug_nans", False):
         jax.config.update("jax_debug_nans", True)
+    _apply_approx_knobs(args)
     log_string = configure_logging(args.save_dir, "partseg")
     epoch_string = configure_logging(args.save_dir, "partseg", "log")
     epoch_string(str(vars(args)))
