@@ -106,14 +106,14 @@ def test_round3_approx_fold_width_knob():
     finite outputs of the right shape."""
     from svnet_tpu import config
 
-    src = jax.random.normal(jax.random.PRNGKey(2), (B, 512, S + 3 * V))
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 256, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(3))
     kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
               binary=True, interpret=True)
     fast = sv_round3(src, folded, mode="fast", **kw)
     old = config.approx_fold
     try:
-        config.set_approx_fold(512)
+        config.set_approx_fold(256)
         a_nofold = sv_round3(src, folded, mode="approx", **kw)
         config.set_approx_fold(128)
         a_128 = sv_round3(src, folded, mode="approx", **kw)
@@ -141,7 +141,7 @@ def test_round3_approx_q8_gather():
     err = np.abs(np.asarray(back) - np.asarray(g))
     assert (err <= 0.5 * step[None, :, None] * 1.001).all()
 
-    src = jax.random.normal(jax.random.PRNGKey(2), (B, 512, S + 3 * V))
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 256, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(3))
     kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
               binary=True, mode="approx", interpret=True)
