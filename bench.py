@@ -98,7 +98,17 @@ def main():
         help="approx-mode gather precision (config.set_approx_gather_bits; "
              "8 = one int8 plane, half the gather MXU cost)",
     )
+    ap.add_argument(
+        "--graph-reuse", choices=["none", "conv2", "spatial"], default=None,
+        help="kNN graph reuse across DGCNN rounds "
+             "(config.set_graph_reuse; skips key build + selection in the "
+             "reusing rounds — validate accuracy on a trained checkpoint)",
+    )
     args = ap.parse_args()
+    if args.graph_reuse:
+        from svnet_tpu import config
+
+        config.set_graph_reuse(args.graph_reuse)
     if args.approx_gather_bits:
         from svnet_tpu import config
 

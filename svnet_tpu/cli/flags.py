@@ -103,6 +103,12 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
         help="approx-mode gather precision (config.set_approx_gather_bits; "
              "8 = one int8 plane, half the gather MXU cost; 0 = default 16)",
     )
+    p.add_argument(
+        "--graph-reuse", choices=["none", "conv2", "spatial"], default="none",
+        help="kNN graph reuse across DGCNN rounds for --fused eval "
+             "(config.set_graph_reuse): conv2 = conv3/4 reuse conv2's "
+             "feature-space graph; spatial = all rounds reuse the xyz graph",
+    )
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas inference engine for --test"
                         " evaluation (svnet+dgcnn only)")

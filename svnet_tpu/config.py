@@ -115,6 +115,32 @@ def set_approx_gather_bits(bits: int) -> None:
     _invalidate()
 
 
+graph_reuse: str = "none"  # 'none' | 'conv2' | 'spatial' — DGCNN graph reuse
+
+
+def set_graph_reuse(name: str) -> None:
+    """Serving knob: reuse one round's kNN graph for the later DGCNN rounds
+    instead of recomputing it per round (trace-time; round3 engines only).
+
+    'none'    - reference semantics: every round recomputes kNN in its own
+                input feature space (the "dynamic" in Dynamic Graph CNN).
+    'conv2'   - conv2 selects in feature space and conv3/conv4 reuse its
+                neighbour indices: key build + selection (the VPU wall of a
+                round, PERF.md) drop out of 2 of the 4 rounds.
+    'spatial' - ALL conv rounds reuse the first round's xyz graph (static
+                spatial graph, PointNet++-style locality): selection runs
+                once per forward.
+
+    Accuracy is checkpoint-dependent — weights trained with dynamic graphs
+    see a different receptive field. Validate on a trained checkpoint
+    (--test --fused --graph-reuse ...) before serving with it; exact/fast
+    modes with 'none' remain the parity reference."""
+    global graph_reuse
+    assert name in ("none", "conv2", "spatial"), name
+    graph_reuse = name
+    _invalidate()
+
+
 exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
 
 

@@ -23,7 +23,7 @@ from typing import Dict
 import jax
 import jax.numpy as jnp
 
-from svnet_tpu import ops
+from svnet_tpu import config, ops
 from svnet_tpu.nn.sv_layers import _binary_matmul_eval
 from svnet_tpu.ops.pallas.knn import knn_pallas
 from svnet_tpu.ops.pallas.sv_edge import (
@@ -227,13 +227,21 @@ class SVDGCNNClsEngine:
 
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
+        reuse = config.graph_reuse if self.rounds_impl == "round3" else "none"
+        assert reuse == "none" or not self.window, \
+            "config.graph_reuse excludes Morton windowing"
+        wins = None
         if self.rounds_impl == "round3":
-            s1, v1_flat, s_mean = sv_round3_first(
+            out1 = sv_round3_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
                 mode=self.mode, interpret=self.interpret,
                 window=self.window,
+                emit_wins=reuse == "spatial",
             )
+            s1, v1_flat, s_mean = out1[:3]
+            if reuse == "spatial":
+                wins = out1[3]
         elif self.rounds_impl == "round2":
             s1, v1_flat, s_mean = sv_round2_first(
                 points, self.folded_first,
@@ -271,12 +279,17 @@ class SVDGCNNClsEngine:
             if self.rounds_impl in ("round", "round2", "round3"):
                 if self.rounds_impl == "round3":
                     # round3 sizes its own tiles (no _auto_round_tile)
-                    so, vo, se_mean = sv_round3(
+                    emit = reuse == "conv2" and name == "conv2"
+                    res = sv_round3(
                         joint, self.folded[name],
                         S=S, V=V, S_out=S_out, V_out=V_out, k=k,
                         binary=self.binary, mode=self.mode,
                         interpret=self.interpret, window=self.window,
+                        wins_in=wins, emit_wins=emit,
                     )
+                    so, vo, se_mean = res[:3]
+                    if emit:
+                        wins = res[3]
                 elif self.rounds_impl == "round2":
                     t_round = _auto_round_tile(
                         N, self.tile, k, S + 3 * V, self.mode
@@ -440,13 +453,21 @@ class SVDGCNNPsegEngine:
         binary = self.binary
 
         s1_dim, v1_dim = self.dims["conv1"]
+        reuse = config.graph_reuse if self.rounds_impl == "round3" else "none"
+        assert reuse == "none" or not self.window, \
+            "config.graph_reuse excludes Morton windowing"
+        wins = None
         if self.rounds_impl == "round3":
-            s1, v1_flat, s_mean = sv_round3_first(
+            out1 = sv_round3_first(
                 points, self.folded_first,
                 S_out=s1_dim, V_out=v1_dim, k=k,
                 mode=self.mode, interpret=self.interpret,
                 window=self.window,
+                emit_wins=reuse == "spatial",
             )
+            s1, v1_flat, s_mean = out1[:3]
+            if reuse == "spatial":
+                wins = out1[3]
         else:
             s1, v1_flat, s_mean = sv_round2_first(
                 points, self.folded_first,
@@ -463,12 +484,17 @@ class SVDGCNNPsegEngine:
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
             if self.rounds_impl == "round3":
-                so, vo, se_mean = sv_round3(
+                emit = reuse == "conv2" and name == "conv2"
+                res = sv_round3(
                     joint, self.folded[name],
                     S=S, V=V, S_out=S_out, V_out=V_out, k=k,
                     binary=binary, mode=self.mode, interpret=self.interpret,
                     window=self.window,
+                    wins_in=wins, emit_wins=emit,
                 )
+                so, vo, se_mean = res[:3]
+                if emit:
+                    wins = res[3]
             else:
                 so, vo, se_mean = sv_round2(
                     joint, self.folded[name],

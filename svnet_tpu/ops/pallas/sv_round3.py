@@ -442,11 +442,20 @@ def _round3_kernel(
     src_ref, srcT_ref, planesT_ref, invT_ref, aa_ref, keep_ref,
     wzc_ref, w1T_ref, betaT_ref,
     a1T_ref, b1T_ref, w2_ref, scale2T_ref, a2T_ref, b2T_ref,
-    s_out_ref, v_out_ref, ssum_ref,
-    nbr_scratch, *cmp_scratch,
+    *rest,
     S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
     W: int, binary: bool, mode: str, gb8: bool = False,
+    take_wins: bool = False, emit_wins: bool = False,
 ):
+    # optional graph-reuse refs ride at the end of the input/output lists
+    # (config.graph_reuse): ``take_wins`` skips distances/keys/selection and
+    # reads the k per-target winner rows; ``emit_wins`` writes them.
+    rest = list(rest)
+    winsin_ref = rest.pop(0) if take_wins else None
+    s_out_ref, v_out_ref, ssum_ref = rest.pop(0), rest.pop(0), rest.pop(0)
+    winsout_ref = rest.pop(0) if emit_wins else None
+    nbr_scratch, cmp_scratch = rest[0], rest[1:]
+
     C = S + 3 * V
     twoV = 2 * V
     exact = mode == "exact"
@@ -467,7 +476,13 @@ def _round3_kernel(
     # kept BS-row blocks are compacted into W-capacity scratch (aligned
     # dynamic copies), selection/gather run at width W, and absolute row
     # ids ride along so results match the full scan exactly.
-    if W == N:
+    if take_wins:
+        # graph reuse: the neighbour rows were selected by an earlier round
+        # (absolute ids over the full N) — phase 1 drops out entirely.
+        planes_w = planesT_ref[0]
+        rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
+        wins = [winsin_ref[0, r : r + 1, :] for r in range(k)]
+    elif W == N:
         src_w = src_ref[0]  # (N, C)
         aa_w = aa_ref[0]
         planes_w = planesT_ref[0]  # (PC, N) int8
@@ -498,19 +513,23 @@ def _round3_kernel(
         rows = rows_cmp[:]  # (W, 1) absolute ids
         local = jax.lax.broadcasted_iota(jnp.int32, (W, 1), 0)
         valid = local < cnt
-    inner = jax.lax.dot_general(
-        src_w, ctrT_raw, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32, precision=prec,
-    )
-    tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)  # (1, T)
-    neg = 2.0 * inner - aa_w - tt
-    if valid is not None:
-        # neutralize garbage rows beyond the compaction cursor (scratch is
-        # uninitialized; 0.0 also keeps the packed-key quantizer's
-        # min(neg) over real candidates only)
-        neg = jnp.where(valid, neg, 0.0)
-    key = _build_key_t(neg, rows, N, mode, W, valid)
-    wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids up front
+    if not take_wins:
+        inner = jax.lax.dot_general(
+            src_w, ctrT_raw, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )
+        tt = jnp.sum(ctrT_raw * ctrT_raw, axis=0, keepdims=True)  # (1, T)
+        neg = 2.0 * inner - aa_w - tt
+        if valid is not None:
+            # neutralize garbage rows beyond the compaction cursor (scratch
+            # is uninitialized; 0.0 also keeps the packed-key quantizer's
+            # min(neg) over real candidates only)
+            neg = jnp.where(valid, neg, 0.0)
+        key = _build_key_t(neg, rows, N, mode, W, valid)
+        wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids
+        if emit_wins:
+            for r in range(k):
+                winsout_ref[0, r : r + 1, :] = wins[r]
 
     # centre-derived constants, reused across chunks. wz column slices are
     # 1-lane unaligned reads of a TINY (2V, 3) array — one-vreg shuffles,
@@ -734,19 +753,22 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
-                     "mode", "interpret", "window"),
+                     "mode", "interpret", "window", "emit_wins"),
 )
 def sv_round3(
     src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
     folded: Dict[str, jax.Array],
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     binary: bool = True, mode: str = "exact", interpret: bool = False,
-    window: int = 0,
+    window: int = 0, wins_in: jax.Array | None = None,
+    emit_wins: bool = False,
 ):
     """v3 fused round; drop-in contract-compatible with sv_round2.
 
     Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
-    s_edge_mean (B, 2S)).
+    s_edge_mean (B, 2S)) — plus the (B, k, N) int32 winner-row tensor when
+    ``emit_wins`` (rank-major per-target neighbour ids, feedable to a later
+    round's ``wins_in`` for graph reuse, config.graph_reuse).
 
     ``window`` (0 = off): candidate-window width for Morton-sorted inputs.
     A certified prepass restricts selection + gather to W source rows per
@@ -755,6 +777,8 @@ def sv_round3(
     quantization-tie class.
     """
     assert mode in MODES, mode
+    assert wins_in is None or not window, "graph reuse excludes windowing"
+    assert wins_in is None or not emit_wins
     B, N, _ = src.shape
     C = S + 3 * V
     if not T or not R:
@@ -805,50 +829,65 @@ def sv_round3(
                 pltpu.VMEM((W, 1), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
             ]
+        in_specs = [
+            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nt, keep.shape[2]), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, IN1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN1, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, twoV), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+        ]
+        operands = [
+            src, srcT, planesT, invT, aa, keep,
+            wzc, w1T, betaT, a1T, b1T, w2T, scale2T, a2T, b2T,
+        ]
+        if wins_in is not None:
+            in_specs.append(pl.BlockSpec(
+                (1, k, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+            ))
+            operands.append(wins_in)
+        out_specs = [
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, max(2 * S, 1), 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, nt, max(2 * S, 1), 1), jnp.float32),
+        ]
+        if emit_wins:
+            out_specs.append(pl.BlockSpec(
+                (1, k, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+            ))
+            out_shape.append(jax.ShapeDtypeStruct((B, k, N), jnp.int32))
         return pl.pallas_call(
             functools.partial(
                 _round3_kernel,
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W,
                 binary=binary, mode=mode, gb8=gb8,
+                take_wins=wins_in is not None, emit_wins=emit_wins,
             ),
             grid=(B, nt),
-            in_specs=[
-                pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, nt, keep.shape[2]), lambda b, t: (b, 0, 0),
-                             memory_space=pltpu.SMEM),
-                pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((S_out, IN1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((IN1, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((V_out, twoV), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-                pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
-            ],
-            out_specs=(
-                pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, max(2 * S, 1), 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
-                jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
-                jax.ShapeDtypeStruct((B, nt, max(2 * S, 1), 1), jnp.float32),
-            ),
+            in_specs=in_specs,
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024
             ),
             interpret=interpret,
-        )(
-            src, srcT, planesT, invT, aa, keep,
-            wzc, w1T, betaT, a1T, b1T, w2T, scale2T, a2T, b2T,
-        )
+        )(*operands)
 
     keep_dummy = jnp.zeros((B, nt, 1), jnp.int32)
     if window and 0 < window < N:
@@ -856,19 +895,21 @@ def sv_round3(
         if mode == "approx":
             assert window % 2 == 0, window
         keep, ok = _prune_prepass(src, k, T, window)
-        s_out, v_out, ssum = jax.lax.cond(
+        res = jax.lax.cond(
             ok,
             lambda: call(window, keep),
             lambda: call(N, keep_dummy),
         )
     else:
-        s_out, v_out, ssum = call(N, keep_dummy)
+        res = call(N, keep_dummy)
+    s_out, v_out, ssum = res[:3]
     s_edge_mean = jnp.sum(ssum[:, :, :, 0], axis=1) / (N * k)
-    return (
+    out = (
         jnp.swapaxes(s_out, 1, 2),
         jnp.swapaxes(v_out, 1, 2),
         s_edge_mean,
     )
+    return out + (res[3],) if emit_wins else out
 
 
 # ---------------------------------------------------------------------------
@@ -881,10 +922,12 @@ def _round3_first_kernel(
     wz0c_ref, wz1c_ref, w1T_ref, a1T_ref, b1T_ref,
     w2T_ref, a2T_ref, b2T_ref,
     s_out_ref, v_out_ref, ssum_ref,
-    *cmp_scratch,
+    *rest,
     S_out: int, V_out: int, k: int, R: int, T: int, N: int, W: int,
-    mode: str, cross: bool, gb8: bool = False,
+    mode: str, cross: bool, gb8: bool = False, emit_wins: bool = False,
 ):
+    winsout_ref = rest[0] if emit_wins else None
+    cmp_scratch = rest[1:] if emit_wins else rest
     """First fused round, transposed. All quantities are single (1, L) rows
     (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
     padded HIGHEST K=2..6 matmuls that dominated v2's first round
@@ -947,6 +990,9 @@ def _round3_first_kernel(
         neg = jnp.where(valid, neg, 0.0)
     key = _build_key_t(neg, rows, N, mode, W, valid)
     wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids up front
+    if emit_wins:
+        for r in range(k):
+            winsout_ref[0, r : r + 1, :] = wins[r]
 
     wz0cols = [wz0c_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
     wz1cols = [wz1c_ref[:, j : j + 1] for j in range(3)]
@@ -1052,19 +1098,21 @@ def _round3_first_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("S_out", "V_out", "k", "T", "R", "mode", "cross",
-                     "interpret", "window"),
+                     "interpret", "window", "emit_wins"),
 )
 def sv_round3_first(
     points: jax.Array,  # (B, N, 3)
     folded: Dict[str, jax.Array],
     *, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     mode: str = "exact", cross: bool = False, interpret: bool = False,
-    window: int = 0,
+    window: int = 0, emit_wins: bool = False,
 ):
     """v3 fused first round; contract-compatible with sv_round2_first.
 
     Returns (s_out (B, N, S_out), v_out UNGATED (B, N, 3*V_out),
-    s_mean (B, 3*n_ch) in the reference's c*3+j channel order).
+    s_mean (B, 3*n_ch) in the reference's c*3+j channel order) — plus the
+    (B, k, N) int32 xyz-kNN winner tensor when ``emit_wins`` (graph reuse,
+    config.graph_reuse='spatial').
     ``window``: see sv_round3 (Morton-sorted candidate windows).
     """
     assert mode in MODES, mode
@@ -1111,11 +1159,26 @@ def sv_round3_first(
                 pltpu.VMEM((W, 1), jnp.int32),
                 pltpu.SMEM((1,), jnp.int32),
             ]
+        out_specs = [
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * n_ch, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        out_shape = [
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, nt, 3 * n_ch, 1), jnp.float32),
+        ]
+        if emit_wins:
+            out_specs.append(pl.BlockSpec(
+                (1, k, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM
+            ))
+            out_shape.append(jax.ShapeDtypeStruct((B, k, N), jnp.int32))
         return pl.pallas_call(
             functools.partial(
                 _round3_first_kernel,
                 S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W, mode=mode,
-                cross=cross, gb8=gb8,
+                cross=cross, gb8=gb8, emit_wins=emit_wins,
             ),
             grid=(B, nt),
             in_specs=[
@@ -1135,16 +1198,8 @@ def sv_round3_first(
                 pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
                 pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
             ],
-            out_specs=(
-                pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, 3 * n_ch, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
-            ),
-            out_shape=(
-                jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
-                jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
-                jax.ShapeDtypeStruct((B, nt, 3 * n_ch, 1), jnp.float32),
-            ),
+            out_specs=tuple(out_specs),
+            out_shape=tuple(out_shape),
             scratch_shapes=scratch,
             compiler_params=pltpu.CompilerParams(
                 vmem_limit_bytes=110 * 1024 * 1024
@@ -1161,22 +1216,24 @@ def sv_round3_first(
         if mode == "approx":
             assert window % 2 == 0, window
         keep, ok = _prune_prepass(points, k, T, window)
-        s_out, v_out, ssum = jax.lax.cond(
+        res = jax.lax.cond(
             ok,
             lambda: call(window, keep),
             lambda: call(N, keep_dummy),
         )
     else:
-        s_out, v_out, ssum = call(N, keep_dummy)
+        res = call(N, keep_dummy)
+    s_out, v_out, ssum = res[:3]
     # kernel rows are j-major (jj*n_ch + c); the reference gate consumes
     # c-major (c*3 + j)
     perm = jnp.asarray(
         [jj * n_ch + c for c in range(n_ch) for jj in range(3)], dtype=jnp.int32
     )
     s_mean = jnp.sum(ssum[:, :, :, 0], axis=1)[:, perm] / (N * k)
-    return (
+    out = (
         jnp.swapaxes(s_out, 1, 2),
         jnp.swapaxes(v_out, 1, 2),
         s_mean,
     )
+    return out + (res[3],) if emit_wins else out
 

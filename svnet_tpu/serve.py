@@ -84,6 +84,8 @@ def _main():
     ap.add_argument("--approx-fold", type=int, default=0)
     ap.add_argument("--approx-gather-bits", type=int, default=0,
                     choices=[0, 8, 16])
+    ap.add_argument("--graph-reuse", default="none",
+                    choices=["none", "conv2", "spatial"])
     ap.add_argument("--fp", action="store_true",
                     help="full-precision weights (default binary)")
     ap.add_argument("--platform", default="",
@@ -96,6 +98,8 @@ def _main():
         config.set_approx_fold(args.approx_fold)
     if args.approx_gather_bits:
         config.set_approx_gather_bits(args.approx_gather_bits)
+    if args.graph_reuse != "none":
+        config.set_graph_reuse(args.graph_reuse)
 
     k = args.k or (20 if args.task == "cls" else 40)
     binary = not args.fp

@@ -91,3 +91,28 @@ def test_knn_pallas_pair_selection_smoke():
         config.set_exact_selection("update")
         jax.clear_caches()
     np.testing.assert_array_equal(got, want)
+
+
+def test_engine_graph_reuse_smoke():
+    """config.graph_reuse serving knob: 'conv2' and 'spatial' engines run
+    the wins emit/take kernel paths end to end (bitwise mechanism proven in
+    test_sv_round3.py::test_graph_reuse_wins_roundtrip); 'none' restores
+    the reference dynamic-graph logits exactly."""
+    from svnet_tpu import config
+
+    model = models.SV_DGCNN_CLS(num_classes=10, k=K, binary=True)
+    points = jax.random.normal(jax.random.PRNGKey(5), (B, N, 3))
+    variables = model.init(jax.random.PRNGKey(6), points)
+    eng = SVDGCNNClsEngine(
+        variables, num_classes=10, k=K, binary=True,
+        knn_impl="xla", exact=True, interpret=True,
+    )
+    base = np.asarray(eng(points))
+    try:
+        for mode in ("conv2", "spatial"):
+            config.set_graph_reuse(mode)
+            got = np.asarray(eng(points))
+            assert got.shape == base.shape and np.isfinite(got).all(), mode
+    finally:
+        config.set_graph_reuse("none")
+    np.testing.assert_array_equal(np.asarray(eng(points)), base)

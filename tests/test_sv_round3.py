@@ -273,3 +273,47 @@ def test_exact_pair_selection_matches_update():
     np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_u))
     np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_u))
     np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_graph_reuse_wins_roundtrip(mode):
+    """emit_wins -> wins_in on the SAME inputs reproduces the normal round
+    bitwise, and exact-mode wins equal the XLA kNN neighbour sets
+    (config.graph_reuse mechanism, ops/pallas/sv_round3.py)."""
+    from svnet_tpu.ops.knn import knn
+
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, N, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(3))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+              binary=True, mode=mode, interpret=True)
+    base = sv_round3(src, folded, **kw)
+    *em, wins = sv_round3(src, folded, emit_wins=True, **kw)
+    assert wins.shape == (B, K, N) and wins.dtype == jnp.int32
+    for a, b in zip(base, em):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    re = sv_round3(src, folded, wins_in=wins, **kw)
+    for a, b in zip(base, re):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    if mode == "exact":
+        idx = knn(src, K)
+        np.testing.assert_array_equal(
+            np.sort(np.asarray(wins).transpose(0, 2, 1), -1),
+            np.sort(np.asarray(idx), -1),
+        )
+
+
+def test_graph_reuse_first_round_emits_xyz_knn():
+    from svnet_tpu.ops.knn import knn
+
+    pts = jax.random.normal(jax.random.PRNGKey(4), (B, N, 3))
+    folded = _folded_first(jax.random.PRNGKey(5), n_ch=3)
+    kw = dict(S_out=S_out, V_out=V_out, k=K, T=T, R=4, cross=True,
+              mode="exact", interpret=True)
+    base = sv_round3_first(pts, folded, **kw)
+    *em, wins = sv_round3_first(pts, folded, emit_wins=True, **kw)
+    for a, b in zip(base, em):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(
+        np.sort(np.asarray(wins).transpose(0, 2, 1), -1),
+        np.sort(np.asarray(knn(pts, K)), -1),
+    )
