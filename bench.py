@@ -99,6 +99,12 @@ def main():
              "8 = one int8 plane, half the gather MXU cost)",
     )
     ap.add_argument(
+        "--block-matmul", choices=["bf16", "int8"], default=None,
+        help="fused-round ±1 block matmul operand type "
+             "(config.set_round_block_matmul; int8 = 2x MXU rate, "
+             "value-identical)",
+    )
+    ap.add_argument(
         "--graph-reuse", choices=["none", "conv2", "spatial"], default=None,
         help="kNN graph reuse across DGCNN rounds "
              "(config.set_graph_reuse; skips key build + selection in the "
@@ -109,6 +115,10 @@ def main():
         from svnet_tpu import config
 
         config.set_graph_reuse(args.graph_reuse)
+    if args.block_matmul:
+        from svnet_tpu import config
+
+        config.set_round_block_matmul(args.block_matmul)
     if args.approx_gather_bits:
         from svnet_tpu import config
 

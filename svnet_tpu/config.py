@@ -115,6 +115,22 @@ def set_approx_gather_bits(bits: int) -> None:
     _invalidate()
 
 
+round_block_matmul: str = "bf16"  # 'bf16' | 'int8' — in-kernel ±1 matmul
+
+
+def set_round_block_matmul(name: str) -> None:
+    """The fused round kernels' binarized block matmul (sign(x)·sign(w)):
+    'bf16' = ±1 operands in bf16 on the MXU (production default);
+    'int8' = ±1 operands as int8, int32 accumulation — 2x the MXU rate,
+    value-identical (±1 products are exact in both; sums < 2^24). A/B
+    on-chip before flipping the default (Mosaic's f32→s8 convert path is
+    the unproven piece, not the arithmetic)."""
+    global round_block_matmul
+    assert name in ("bf16", "int8"), name
+    round_block_matmul = name
+    _invalidate()
+
+
 graph_reuse: str = "none"  # 'none' | 'conv2' | 'spatial' — DGCNN graph reuse
 
 

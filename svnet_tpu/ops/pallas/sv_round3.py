@@ -445,7 +445,7 @@ def _round3_kernel(
     *rest,
     S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
     W: int, binary: bool, mode: str, gb8: bool = False,
-    take_wins: bool = False, emit_wins: bool = False,
+    take_wins: bool = False, emit_wins: bool = False, blk8: bool = False,
 ):
     # optional graph-reuse refs ride at the end of the input/output lists
     # (config.graph_reuse): ``take_wins`` skips distances/keys/selection and
@@ -537,6 +537,7 @@ def _round3_kernel(
     wzcols = [wzc_ref[:, j : j + 1] for j in range(3)]  # (2V, 1) each
     ctr_s = ctr_g[0:S, :] if S else None
     ctr_v = [ctr_g[S + i * V : S + (i + 1) * V, :] for i in range(3)]
+    w1q = w1T_ref[:].astype(jnp.int8) if (binary and blk8) else None
 
     s_acc = None
     v_acc = [None, None, None]
@@ -590,7 +591,15 @@ def _round3_kernel(
             parts = sv
 
         x_cat = jnp.concatenate(parts, axis=0)  # (2S+6V, L)
-        if binary:
+        if binary and blk8:
+            # ±1 int8 on the MXU: 2x the bf16 MAC rate, value-identical
+            # (config.round_block_matmul — sums bounded far below 2^24)
+            xq = jnp.sign(x_cat + betaT_ref[:]).astype(jnp.int8)
+            h = jax.lax.dot_general(
+                w1q, xq, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            ).astype(jnp.float32)  # (S_out, L)
+        elif binary:
             xq = jnp.sign(x_cat + betaT_ref[:]).astype(jnp.bfloat16)
             h = jax.lax.dot_general(
                 w1T_ref[:].astype(jnp.bfloat16), xq, (((1,), (0,)), ((), ())),
@@ -639,19 +648,23 @@ def _round3_kernel(
 
 
 def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
-                  V_out: int, mode: str):
+                  V_out: int, mode: str, reuse: bool = False):
     """(T, R) under the ~16 MB VMEM budget.
 
     Live state: ~4 (N, T) i32/f32 selection arrays + (PC, T) gather + fixed
     (C/PC, N) sources, plus the chunk's (rows, R*T) block intermediates
     (~4C + 4(2S+6V) + 2S_out + 5V_out rows of f32).
+
+    ``reuse`` (wins_in rounds): the selection key arrays never exist — only
+    the transient per-rank (N, T) int8 one-hot mask is T-proportional, so
+    tiles grow toward the 512 cap.
     """
     budget = 11 * 1024 * 1024
     nplanes = 4 if mode == "exact" else (
         1 if mode == "approx" and config.approx_gather_bits == 8 else 2
     )
     fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
-    per_t = N * 4 * (5 if mode == "exact" else 4)
+    per_t = N * 2 if reuse else N * 4 * (5 if mode == "exact" else 4)
     # Mosaic requires the block's lane dim be a multiple of 128 or the full
     # array dim: T is either N (small clouds) or a multiple-of-128 divisor
     T = max(128, (budget // 2 - fixed) // max(per_t, 1) // 128 * 128)
@@ -782,7 +795,8 @@ def sv_round3(
     B, N, _ = src.shape
     C = S + 3 * V
     if not T or not R:
-        T0, R0 = _round3_tiles(N, k, C, S, V, S_out, V_out, mode)
+        T0, R0 = _round3_tiles(N, k, C, S, V, S_out, V_out, mode,
+                               reuse=wins_in is not None)
         T = T or T0
         R = R or R0
     assert N % T == 0 and k % R == 0, (N, T, k, R)
@@ -877,6 +891,7 @@ def sv_round3(
                 S=S, V=V, S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W,
                 binary=binary, mode=mode, gb8=gb8,
                 take_wins=wins_in is not None, emit_wins=emit_wins,
+                blk8=config.round_block_matmul == "int8",
             ),
             grid=(B, nt),
             in_specs=in_specs,

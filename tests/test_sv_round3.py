@@ -317,3 +317,27 @@ def test_graph_reuse_first_round_emits_xyz_knn():
         np.sort(np.asarray(wins).transpose(0, 2, 1), -1),
         np.sort(np.asarray(knn(pts, K)), -1),
     )
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_round_block_matmul_int8_bitwise(mode):
+    """config.round_block_matmul='int8' is value-identical to the bf16
+    path: ±1 products are exact in both and the int32 sums stay far below
+    2^24, so h (and everything downstream) matches bitwise."""
+    from svnet_tpu import config
+
+    src = jax.random.normal(jax.random.PRNGKey(6), (B, N, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(7))
+    # production binary folding emits ±1 w1 (fold_svblock_params sign());
+    # the int8 path relies on that, so the fixture must too
+    folded["w1"] = jnp.sign(folded["w1"])
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+              binary=True, mode=mode, interpret=True)
+    base = sv_round3(src, folded, **kw)
+    try:
+        config.set_round_block_matmul("int8")
+        got = sv_round3(src, folded, **kw)
+    finally:
+        config.set_round_block_matmul("bf16")
+    for a, b in zip(base, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
