@@ -73,7 +73,24 @@ def main():
     ap.add_argument("--surface", action="store_true",
                     help="Morton-sorted deformed-sphere clouds (use with "
                          "--window; random clouds certify ~no skipping)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="also time each conv round with a reused graph "
+                         "(wins_in) — the per-round decomposition behind "
+                         "config.graph_reuse")
+    ap.add_argument("--block-matmul", choices=["bf16", "int8"], default=None,
+                    help="config.set_round_block_matmul for all legs")
+    ap.add_argument("--graph-reuse", choices=["none", "conv2", "spatial"],
+                    default=None,
+                    help="config.set_graph_reuse for the TOTAL engine leg")
     args = ap.parse_args()
+
+    if args.block_matmul or args.graph_reuse:
+        from svnet_tpu import config
+
+        if args.block_matmul:
+            config.set_round_block_matmul(args.block_matmul)
+        if args.graph_reuse:
+            config.set_graph_reuse(args.graph_reuse)
 
     from svnet_tpu import models
     from svnet_tpu.ops.pallas.sv_round3 import sv_round3, sv_round3_first
@@ -155,6 +172,19 @@ def main():
                 (src,), args.iters, args.repeats,
             )
             rows.append((f"{name} ({S},{V})->({So},{Vo})", ms))
+            if args.reuse:
+                wins = sv_round3(
+                    src, eng.folded[name], S=S, V=V, S_out=So, V_out=Vo,
+                    k=k, binary=True, mode=mode, emit_wins=True,
+                )[3]
+                ms = timed_call(
+                    lambda s, w, nm=name, S=S, V=V, So=So, Vo=Vo: sv_round3(
+                        s, eng.folded[nm], S=S, V=V, S_out=So, V_out=Vo,
+                        k=k, binary=True, mode=mode, wins_in=w,
+                    )[0],
+                    (src, wins), args.iters, args.repeats,
+                )
+                rows.append((f"{name} + wins_in (reused graph)", ms))
 
         if hasattr(eng, "S_c"):
             S_c, V_c, S5, V5 = eng.S_c, eng.V_c, eng.S5, eng.V5
@@ -177,7 +207,7 @@ def main():
         ms = timed_call(eng._forward, fwd_args, args.iters, args.repeats)
         rows.append(("TOTAL engine forward", ms))
 
-        phase_sum = sum(m for _, m in rows[:-1])
+        phase_sum = sum(m for n, m in rows[:-1] if "wins_in" not in n)
         print(f"\n== mode={mode}")
         for name, m in rows:
             print(f"  {name:<38} {m:8.2f} ms  {m / B * 1e3:8.1f} us/cloud")
