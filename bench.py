@@ -262,6 +262,15 @@ def main():
     }
     for mode in modes[1:]:
         out[f"value_{mode}"] = round(results[mode], 1)
+    # non-default serving knobs self-describe the measurement
+    if args.graph_reuse and args.graph_reuse != "none":
+        out["graph_reuse"] = args.graph_reuse
+    if args.block_matmul and args.block_matmul != "bf16":
+        out["block_matmul"] = args.block_matmul
+    if args.approx_fold:
+        out["approx_fold"] = args.approx_fold
+    if args.approx_gather_bits and args.approx_gather_bits != 16:
+        out["approx_gather_bits"] = args.approx_gather_bits
     print(json.dumps(out))
 
 
