@@ -941,14 +941,14 @@ def _round3_first_kernel(
     S_out: int, V_out: int, k: int, R: int, T: int, N: int, W: int,
     mode: str, cross: bool, gb8: bool = False, emit_wins: bool = False,
 ):
-    winsout_ref = rest[0] if emit_wins else None
-    cmp_scratch = rest[1:] if emit_wins else rest
     """First fused round, transposed. All quantities are single (1, L) rows
     (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
     padded HIGHEST K=2..6 matmuls that dominated v2's first round
     (PERF.md:99-105) are gone entirely; only w1 (K=6*n_ch) and w2 stay on
     the MXU.
     """
+    winsout_ref = rest[0] if emit_wins else None
+    cmp_scratch = rest[1:] if emit_wins else rest
     C = 3
     n_ch = 3 if cross else 2
     exact = mode == "exact"
