@@ -98,10 +98,29 @@ def edge_gather(src: jax.Array, idx: jax.Array, interpret: bool = False):
     return _edge_gather_fwd_impl(src, idx, interpret)
 
 
+def _fwd_tile(N: int, k: int, C: int) -> int:
+    """Target-tile height under the forward kernel's scoped-VMEM budget.
+
+    Mosaic keeps all k unrolled (T, N) int8 one-hot masks live plus the
+    double-buffered (T, k, C) f32 output block (calibrated on-chip: the
+    model predicts the 17.7M scoped allocation observed at
+    N=2048/k=40/C=136 within 3%), so T shrinks below 128 at partseg-scale
+    k*C instead of tripping the 16M scoped-vmem limit at compile time.
+    """
+    T = min(128, N)
+    planes = N * 4 * _plane_stride(C)
+    while T > 8:
+        scoped = planes + T * N * (k + 4) + 2 * T * k * C * 4
+        if scoped <= 12 * 1024 * 1024:
+            break
+        T //= 2
+    return T
+
+
 def _edge_gather_fwd_impl(src, idx, interpret):
     B, N, C = src.shape
     k = idx.shape[-1]
-    T = min(128, N)
+    T = _fwd_tile(N, k, C)
     assert N % T == 0
     planes = pack_planes_exact(src)
     return pl.pallas_call(
