@@ -1,0 +1,643 @@
+"""Fused DIFFERENTIABLE first round for training (custom-VJP Pallas).
+
+After the conv2-4 rounds moved into sv_round3_train, the train step's
+largest leftover HBM traffic was the FP first round: the flax path
+materializes (B, N, k, ...) edge tensors for get_graph_feature ->
+init_scalar Vector2Scalar -> conv1 SVBlock -> svpool in forward AND
+backward (ref sv_util.py:64-88 -> sv_dgcnn_cls.py:48-53; train twins in
+train/fused.py). At partseg shapes that is ~300 MB per pass. This kernel
+keeps the whole round in VMEM with the sv_round3 transposed layout
+(channels on sublanes, centre points on lanes) and differentiates it with
+a custom VJP.
+
+Two structural simplifications vs the generic trained round
+(sv_round3_train):
+
+  * the round is FULL PRECISION (the reference keeps round 1 FP in every
+    model, binary included — ref sv_dgcnn_cls.py:48), so there is no STE
+    and no beta/scale plumbing;
+  * the input channel count is 3 (coordinates), so the backward scatter
+    (dpoints via transposed one-hot matmuls) is 3 rows instead of the
+    generic round's hundreds — b2 stays mask-bound, not matmul-bound.
+    dpoints is computed exactly (the train loop itself never consumes it,
+    but downstream input-gradient uses stay correct).
+
+Semantics replicated exactly from the train twins in train/fused.py
+(_v2s_train twice — init_scalar and conv1's own v2s — then
+linear1/BN1/leaky, linear2/VectorBN, svpool): BN batch stats over B*N*k
+edges, biased variance; max-pool cotangent routed to the FIRST argmax
+rank (torch max semantics, the same documented deviation as the generic
+fused round). Structure: F1 (stat sums) -> XLA stats -> F2 (outputs +
+argmax ranks); B1 (BN-backward sums) -> B2 (parameter grads). Everything
+is rematerialized from points + indices with the bit-exact plane gather.
+
+Verified against the flax train path in tests/test_fused_train.py
+(test_fused_first_round_grad_parity, interpret mode).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from svnet_tpu.ops.pallas.sv_round3 import (
+    _decode_exact_t,
+    _plane_stride_t,
+    _round3_tiles,
+    pack_planes_exact_t,
+)
+
+EPS = 1e-6
+_NSQ_FLOOR = 1e-12
+
+
+def _leaky(y):
+    return jnp.where(y >= 0, y, 0.2 * y)
+
+
+def _lane_sum(x):
+    return jnp.sum(x, axis=1, keepdims=True)
+
+
+def _first_train_kernel(
+    ptsT_ref, planesT_ref, idxT_ref, idx_ref,
+    wz0_ref, wz1_ref, w1T_ref, w1_ref,
+    g1_ref, bb1_ref, mu1_ref, inv1_ref,
+    w2T_ref, w2_ref, g2_ref, bb2_ref, mun_ref, invn_ref,
+    dso_ref, dvo_ref, kmax_ref, dssum_ref,
+    s1_ref, s2_ref, s3_ref, s4_ref,
+    *outs,
+    S_out: int, V_out: int, k: int, R: int, T: int, N: int, phase: str,
+):
+    n_ch = 2  # [nbr - ctr, ctr] pair features (get_graph_feature)
+    SS = 3 * n_ch
+    b = pl.program_id(0)
+    t = pl.program_id(1)
+    first_prog = (b == 0) & (t == 0)
+
+    ctrT = ptsT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (3, T)
+    planesT = planesT_ref[0]
+    rowsN = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
+    if phase == "b2":
+        colsN = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
+
+    wz0cols = [wz0_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
+    wz1cols = [wz1_ref[:, j : j + 1] for j in range(3)]
+
+    if phase == "f1":
+        hsum = jnp.zeros((S_out, 1), jnp.float32)
+        hsq = jnp.zeros((S_out, 1), jnp.float32)
+        nsum = jnp.zeros((V_out, 1), jnp.float32)
+        nsqs = jnp.zeros((V_out, 1), jnp.float32)
+        sssum = jnp.zeros((SS, 1), jnp.float32)
+    elif phase == "f2":
+        s_acc = None
+        karg = None
+        v_acc = [None, None, None]
+    elif phase == "b1":
+        dysum = jnp.zeros((S_out, 1), jnp.float32)
+        dyxh = jnp.zeros((S_out, 1), jnp.float32)
+        dnbsum = jnp.zeros((V_out, 1), jnp.float32)
+        dnbnh = jnp.zeros((V_out, 1), jnp.float32)
+    else:  # b2 — parameter grads + the (3-row) dpoints scatter
+        IN1 = 2 * SS
+        dW1 = jnp.zeros((IN1, S_out), jnp.float32)
+        dW2 = jnp.zeros((n_ch, V_out), jnp.float32)
+        dWZ0 = [jnp.zeros((n_ch, 1), jnp.float32) for _ in range(3)]
+        dWZ1 = [jnp.zeros((n_ch, 1), jnp.float32) for _ in range(3)]
+        dsrc_acc = jnp.zeros((3, T), jnp.float32)  # ctr-path grads (local)
+        scat = None  # (3, N) neighbour-path grads
+
+    for chunk in range(k // R):
+        nbr_cols = []
+        masks_tn = []
+        for r in range(R):
+            j = chunk * R + r
+            idx_row = idxT_ref[0, j : j + 1, pl.ds(pl.multiple_of(t * T, T), T)]
+            mask = (rowsN == idx_row).astype(jnp.int8)  # (N, T)
+            g = jax.lax.dot_general(
+                planesT, mask, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            nbr_cols.append(_decode_exact_t(g, 3))
+            if phase == "b2":
+                idx_col = idx_ref[0, pl.ds(pl.multiple_of(t * T, T), T), j : j + 1]
+                masks_tn.append((colsN == idx_col).astype(jnp.bfloat16))
+        nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L)
+        L = R * T
+        ctr_rep = jnp.tile(ctrT, (1, R))
+        e = nbrT - ctr_rep
+        v_e = [
+            jnp.concatenate(
+                [e[i : i + 1, :], ctr_rep[i : i + 1, :]], axis=0
+            )
+            for i in range(3)
+        ]  # (n_ch, L)
+
+        # two Vector2Scalar streams: z*[i][j] (1, L)
+        z0 = [
+            [jnp.sum(v_e[i] * wz0cols[j], axis=0, keepdims=True)
+             for j in range(3)]
+            for i in range(3)
+        ]
+        z1 = [
+            [jnp.sum(v_e[i] * wz1cols[j], axis=0, keepdims=True)
+             for j in range(3)]
+            for i in range(3)
+        ]
+        sva = []
+        svb = []
+        for jj in range(3):
+            sva.append(v_e[0] * z0[0][jj] + v_e[1] * z0[1][jj]
+                       + v_e[2] * z0[2][jj])  # (n_ch, L)
+            svb.append(v_e[0] * z1[0][jj] + v_e[1] * z1[1][jj]
+                       + v_e[2] * z1[2][jj])
+        x_cat = jnp.concatenate(sva + svb, axis=0)  # (2*SS, L), j-major rows
+
+        h = jax.lax.dot_general(
+            w1T_ref[:], x_cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (S_out, L)
+
+        v2 = [
+            jax.lax.dot_general(
+                w2T_ref[:], v_e[i], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            for i in range(3)
+        ]  # (V_out, L)
+        nsq = v2[0] * v2[0] + v2[1] * v2[1] + v2[2] * v2[2]
+        nsqf = jnp.maximum(nsq, _NSQ_FLOOR)
+        sq = jnp.sqrt(nsqf)
+        n = sq + EPS
+
+        if phase == "f1":
+            hsum += _lane_sum(h)
+            hsq += _lane_sum(h * h)
+            nsum += _lane_sum(n)
+            nsqs += _lane_sum(n * n)
+            sssum += jnp.concatenate(
+                [_lane_sum(sva[jj]) for jj in range(3)], axis=0
+            )
+            continue
+
+        if phase == "f2":
+            xhat = (h - mu1_ref[:]) * inv1_ref[:]
+            y = _leaky(g1_ref[:] * xhat + bb1_ref[:])
+            nbn = g2_ref[:] * ((n - mun_ref[:]) * invn_ref[:]) + bb2_ref[:]
+            w = nbn / n
+            for r in range(R):
+                j = chunk * R + r
+                ys = y[:, r * T : (r + 1) * T]
+                if s_acc is None:
+                    s_acc = ys
+                    karg = jnp.zeros((S_out, T), jnp.int32)
+                else:
+                    upd = ys > s_acc
+                    s_acc = jnp.where(upd, ys, s_acc)
+                    karg = jnp.where(upd, j, karg)
+            for i in range(3):
+                vi = v2[i] * w
+                vs = vi[:, 0:T]
+                for r in range(1, R):
+                    vs = vs + vi[:, r * T : (r + 1) * T]
+                v_acc[i] = vs if v_acc[i] is None else v_acc[i] + vs
+            continue
+
+        # backward phases
+        xhat = (h - mu1_ref[:]) * inv1_ref[:]
+        ybn = g1_ref[:] * xhat + bb1_ref[:]
+        lmask = jnp.where(ybn >= 0, 1.0, 0.2)
+        nhat = (n - mun_ref[:]) * invn_ref[:]
+        nbn = g2_ref[:] * nhat + bb2_ref[:]
+        w = nbn / n
+
+        dso_t = dso_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
+        kmax_t = kmax_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
+        dvo_t = [
+            dvo_ref[0, V_out * i : V_out * (i + 1),
+                    pl.ds(pl.multiple_of(t * T, T), T)]
+            for i in range(3)
+        ]
+
+        dy_cols = []
+        for r in range(R):
+            j = chunk * R + r
+            dy_cols.append(jnp.where(kmax_t == j, dso_t, 0.0))
+        dy = jnp.concatenate(dy_cols, axis=1) * lmask  # (S_out, L)
+
+        inv_k = jnp.float32(1.0 / k)
+        dout = [jnp.tile(dvo_t[i], (1, R)) * inv_k for i in range(3)]
+        G = dout[0] * v2[0] + dout[1] * v2[1] + dout[2] * v2[2]
+        dnbn = G / n
+
+        if phase == "b1":
+            dysum += _lane_sum(dy)
+            dyxh += _lane_sum(dy * xhat)
+            dnbsum += _lane_sum(dnbn)
+            dnbnh += _lane_sum(dnbn * nhat)
+            continue
+
+        # b2: parameter grads
+        dh = g1_ref[:] * inv1_ref[:] * (dy - s1_ref[:] - xhat * s2_ref[:])
+        dW1 += jax.lax.dot_general(
+            x_cat, dh, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*SS, S_out)
+        dx_cat = jax.lax.dot_general(
+            w1_ref[:], dh, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (2*SS, L)
+
+        dn = g2_ref[:] * invn_ref[:] * (dnbn - s3_ref[:] - nhat * s4_ref[:])
+        dn = dn - G * nbn / (n * n)
+        floorm = (nsq > _NSQ_FLOOR).astype(jnp.float32)
+        dnsq_fac = dn / sq * floorm
+        dv_e = [None, None, None]
+        for i in range(3):
+            dv2 = dout[i] * w + dnsq_fac * v2[i]
+            dW2 += jax.lax.dot_general(
+                v_e[i], dv2, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n_ch, V_out)
+            dv_e[i] = jax.lax.dot_general(
+                w2_ref[:], dv2, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (n_ch, L)
+
+        dssum_b = dssum_ref[0]  # (SS, 1), pre-divided gate cotangent
+        for jj in range(3):
+            dsva = dx_cat[jj * n_ch : (jj + 1) * n_ch, :] \
+                + dssum_b[jj * n_ch : (jj + 1) * n_ch, :]
+            dsvb = dx_cat[SS + jj * n_ch : SS + (jj + 1) * n_ch, :]
+            for i in range(3):
+                dz0 = jnp.sum(dsva * v_e[i], axis=0, keepdims=True)  # (1, L)
+                dWZ0[jj] += _lane_sum(v_e[i] * dz0)
+                dz1 = jnp.sum(dsvb * v_e[i], axis=0, keepdims=True)
+                dWZ1[jj] += _lane_sum(v_e[i] * dz1)
+                dv_e[i] = (dv_e[i] + dsva * z0[i][jj] + wz0cols[jj] * dz0
+                           + dsvb * z1[i][jj] + wz1cols[jj] * dz1)
+
+        # edge-feature backward: v_e[i] = [nbr_i - ctr_i, ctr_i]
+        dnbr = jnp.concatenate(
+            [dv_e[i][0:1, :] for i in range(3)], axis=0
+        )  # (3, L)
+        dctr = jnp.concatenate(
+            [-dv_e[i][0:1, :] + dv_e[i][1:2, :] for i in range(3)], axis=0
+        )
+        for r in range(R):
+            dsrc_acc = dsrc_acc + dctr[:, r * T : (r + 1) * T]
+            dnb = dnbr[:, r * T : (r + 1) * T]
+            # two-plane bf16 split (hi + residual): near-f32 scatter grads,
+            # same scheme as sv_round3_train
+            d_hi = dnb.astype(jnp.bfloat16)
+            d_lo = (dnb - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            contrib = jax.lax.dot_general(
+                d_hi, masks_tn[r], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            contrib += jax.lax.dot_general(
+                d_lo, masks_tn[r], (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (3, N)
+            scat = contrib if scat is None else scat + contrib
+
+    # write outputs
+    if phase == "f1":
+        o_h, o_hsq, o_n, o_nsq, o_ss = outs
+
+        @pl.when(first_prog)
+        def _():
+            o_h[...] = jnp.zeros_like(o_h)
+            o_hsq[...] = jnp.zeros_like(o_hsq)
+            o_n[...] = jnp.zeros_like(o_n)
+            o_nsq[...] = jnp.zeros_like(o_nsq)
+
+        @pl.when(t == 0)
+        def _():
+            o_ss[...] = jnp.zeros_like(o_ss)
+
+        o_h[...] += hsum
+        o_hsq[...] += hsq
+        o_n[...] += nsum
+        o_nsq[...] += nsqs
+        o_ss[0] += sssum
+    elif phase == "f2":
+        o_s, o_v, o_k = outs
+        o_s[0] = s_acc
+        o_k[0] = karg
+        inv_k = jnp.float32(1.0 / k)
+        for i in range(3):
+            o_v[0, V_out * i : V_out * (i + 1), :] = v_acc[i] * inv_k
+    elif phase == "b1":
+        o_dy, o_dyx, o_dnb, o_dnh = outs
+
+        @pl.when(first_prog)
+        def _():
+            o_dy[...] = jnp.zeros_like(o_dy)
+            o_dyx[...] = jnp.zeros_like(o_dyx)
+            o_dnb[...] = jnp.zeros_like(o_dnb)
+            o_dnh[...] = jnp.zeros_like(o_dnh)
+
+        o_dy[...] += dysum
+        o_dyx[...] += dyxh
+        o_dnb[...] += dnbsum
+        o_dnh[...] += dnbnh
+    else:
+        o_dsrc, o_dw1, o_dw2, o_dwz0, o_dwz1 = outs
+
+        @pl.when(t == 0)
+        def _():
+            o_dsrc[...] = jnp.zeros_like(o_dsrc)
+
+        @pl.when(first_prog)
+        def _():
+            o_dw1[...] = jnp.zeros_like(o_dw1)
+            o_dw2[...] = jnp.zeros_like(o_dw2)
+            o_dwz0[...] = jnp.zeros_like(o_dwz0)
+            o_dwz1[...] = jnp.zeros_like(o_dwz1)
+
+        o_dsrc[0] += scat
+        cur = o_dsrc[0, :, pl.ds(pl.multiple_of(t * T, T), T)]
+        o_dsrc[0, :, pl.ds(pl.multiple_of(t * T, T), T)] = cur + dsrc_acc
+        o_dw1[...] += dW1
+        o_dw2[...] += dW2
+        o_dwz0[...] += jnp.concatenate(dWZ0, axis=1)
+        o_dwz1[...] += jnp.concatenate(dWZ1, axis=1)
+
+
+def _call_phase(
+    phase, ptsT, planesT, idxT, idx, kp, extras, out_shape, out_specs,
+    *, S_out, V_out, k, R, T, N, interpret,
+):
+    B = ptsT.shape[0]
+    n_ch = 2
+    SS = 3 * n_ch
+    IN1 = 2 * SS
+    PC = 4 * _plane_stride_t(3)
+    const = lambda b, t: (0, 0)
+
+    def bspec(shape, imap):
+        return pl.BlockSpec(shape, imap, memory_space=pltpu.VMEM)
+
+    in_specs = [
+        bspec((1, 3, N), lambda b, t: (b, 0, 0)),
+        bspec((1, PC, N), lambda b, t: (b, 0, 0)),
+        bspec((1, k, N), lambda b, t: (b, 0, 0)),
+        bspec((1, N, k), lambda b, t: (b, 0, 0)),
+        bspec((n_ch, 3), const),
+        bspec((n_ch, 3), const),
+        bspec((S_out, IN1), const),
+        bspec((IN1, S_out), const),
+        bspec((S_out, 1), const),
+        bspec((S_out, 1), const),
+        bspec((S_out, 1), const),
+        bspec((S_out, 1), const),
+        bspec((V_out, n_ch), const),
+        bspec((n_ch, V_out), const),
+        bspec((V_out, 1), const),
+        bspec((V_out, 1), const),
+        bspec((V_out, 1), const),
+        bspec((V_out, 1), const),
+    ]
+    for x in extras[:4]:
+        in_specs.append(bspec((1,) + x.shape[1:], lambda b, t: (b, 0, 0)))
+    for x in extras[4:]:
+        in_specs.append(bspec(x.shape, const))
+    return pl.pallas_call(
+        functools.partial(
+            _first_train_kernel,
+            S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, phase=phase,
+        ),
+        grid=(B, N // T),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(
+        ptsT, planesT, idxT, idx,
+        kp["wz0"], kp["wz1"], kp["w1T"], kp["w1"],
+        kp["g1"], kp["bb1"], kp["mu1"], kp["inv1"],
+        kp["w2T"], kp["w2"], kp["g2"], kp["bb2"], kp["mun"], kp["invn"],
+        *extras,
+    )
+
+
+@functools.lru_cache(maxsize=16)
+def make_fused_first_round(
+    S_out: int, V_out: int, k: int,
+    interpret: bool = False, bn_eps: float = 1e-5,
+):
+    """Factory: the custom-VJP fused FIRST training round for one config.
+
+    Returned fn(points, idx, params) ->
+        (s_out (B,N,S_out), v_out_ungated (B,N,3V_out),
+         s_mean (B, 6) c-major, (bn1_mean, bn1_var, bnn_mean, bnn_var))
+    differentiable in ``points`` and ``params``; ``idx`` (B, N, k) int32
+    is non-differentiable (kNN indices are piecewise constant).
+    ``params`` = {"init_scalar": <Vector2Scalar tree>, "v2s", "linear1",
+    "bn1", "linear2", "bn2" (conv1's subtree, gate excluded — the gate
+    runs in XLA on s_mean)}.
+    """
+    n_ch = 2
+    SS = 3 * n_ch
+    IN1 = 2 * SS
+
+    # kernel x_cat rows are j-major (jj*n_ch + c); flax's Vector2Scalar
+    # emits c-major (c*3 + j) for both the init_scalar block and conv1's —
+    # permute w1 rows in, un-permute the grad out
+    _perm = np.asarray(
+        [c * 3 + j for j in range(3) for c in range(n_ch)]
+        + [SS + c * 3 + j for j in range(3) for c in range(n_ch)],
+        dtype=np.int32,
+    )
+    _inv_perm = np.argsort(_perm).astype(np.int32)
+    # s_mean permutations: kernel ssum rows j-major -> reference c-major
+    _sperm = np.asarray(
+        [j * n_ch + c for c in range(n_ch) for j in range(3)], dtype=np.int32
+    )
+    _sperm_inv = np.argsort(_sperm).astype(np.int32)
+
+    def kernel_params(params, mu1, inv1, mun, invn):
+        col = lambda x: x.reshape(-1, 1)
+        w1 = params["linear1"]["kernel"][_perm, :]
+        return {
+            "wz0": params["init_scalar"]["linear"]["kernel"],
+            "wz1": params["v2s"]["linear"]["kernel"],
+            "w1T": jnp.swapaxes(w1, 0, 1), "w1": w1,
+            "g1": col(params["bn1"]["bn"]["scale"]),
+            "bb1": col(params["bn1"]["bn"]["bias"]),
+            "mu1": mu1, "inv1": inv1,
+            "w2T": jnp.swapaxes(params["linear2"]["kernel"], 0, 1),
+            "w2": params["linear2"]["kernel"],
+            "g2": col(params["bn2"]["bn"]["scale"]),
+            "bb2": col(params["bn2"]["bn"]["bias"]),
+            "mun": mun, "invn": invn,
+        }
+
+    def dummies(B):
+        z = jnp.zeros
+        return (
+            z((B, S_out, 8), jnp.float32),
+            z((B, 3 * V_out, 8), jnp.float32),
+            z((B, S_out, 8), jnp.int32),
+            z((B, SS, 1), jnp.float32),
+            z((S_out, 1), jnp.float32), z((S_out, 1), jnp.float32),
+            z((V_out, 1), jnp.float32), z((V_out, 1), jnp.float32),
+        )
+
+    def prep(points, idx):
+        B, N, _ = points.shape
+        T, R = _round3_tiles(N, k, 3, 0, 1, S_out, V_out, "exact")
+        ptsT = jnp.swapaxes(points, 1, 2)
+        planesT = pack_planes_exact_t(ptsT)
+        idxT = jnp.swapaxes(idx, 1, 2)  # (B, k, N)
+        return ptsT, planesT, idxT, T, R
+
+    def forward(points, idx, params):
+        B, N, _ = points.shape
+        ptsT, planesT, idxT, T, R = prep(points, idx)
+        kw = dict(S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N,
+                  interpret=interpret)
+        zs = jnp.zeros((S_out, 1), jnp.float32)
+        zn = jnp.zeros((V_out, 1), jnp.float32)
+        kp = kernel_params(params, zs, zs, zn, zn)
+        const2 = lambda b, t: (0, 0)
+        f1_shape = (
+            jax.ShapeDtypeStruct((S_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((S_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((V_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((V_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, SS, 1), jnp.float32),
+        )
+        f1_specs = (
+            pl.BlockSpec((S_out, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, SS, 1), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        )
+        hsum, hsq, nsum, nsq, ssum = _call_phase(
+            "f1", ptsT, planesT, idxT, idx, kp, dummies(B), f1_shape, f1_specs,
+            **kw,
+        )
+        M = B * N * k
+        mu1 = hsum / M
+        var1 = jnp.maximum(hsq / M - mu1 * mu1, 0.0)
+        inv1 = 1.0 / jnp.sqrt(var1 + bn_eps)
+        mun = nsum / M
+        varn = jnp.maximum(nsq / M - mun * mun, 0.0)
+        invn = 1.0 / jnp.sqrt(varn + bn_eps)
+
+        kp = kernel_params(params, mu1, inv1, mun, invn)
+        f2_shape = (
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, S_out, N), jnp.int32),
+        )
+        f2_specs = (
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * V_out, T), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_out, T), lambda b, t: (b, 0, t),
+                         memory_space=pltpu.VMEM),
+        )
+        s_outT, v_outT, kmax = _call_phase(
+            "f2", ptsT, planesT, idxT, idx, kp, dummies(B), f2_shape, f2_specs,
+            **kw,
+        )
+        s_mean = ssum[:, _sperm, 0] / (N * k)  # (B, SS) c-major
+        stats = (mu1[:, 0], var1[:, 0], mun[:, 0], varn[:, 0])
+        out = (
+            jnp.swapaxes(s_outT, 1, 2),
+            jnp.swapaxes(v_outT, 1, 2),
+            s_mean,
+            stats,
+        )
+        res = (points, idx, params, kmax, mu1, inv1, mun, invn)
+        return out, res
+
+    def backward(res, cts):
+        points, idx, params, kmax, mu1, inv1, mun, invn = res
+        dso_rm, dvo_rm, dsmean, _ = cts
+        B, N, _ = points.shape
+        ptsT, planesT, idxT, T, R = prep(points, idx)
+        kw = dict(S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N,
+                  interpret=interpret)
+        kp = kernel_params(params, mu1, inv1, mun, invn)
+        dso = jnp.swapaxes(dso_rm, 1, 2)
+        dvo = jnp.swapaxes(dvo_rm, 1, 2)
+        dssum = (dsmean[:, _sperm_inv] / (N * k)).reshape(B, SS, 1)
+        M = B * N * k
+        zs = jnp.zeros((S_out, 1), jnp.float32)
+        zn = jnp.zeros((V_out, 1), jnp.float32)
+        extras = (dso, dvo, kmax, dssum, zs, zs, zn, zn)
+        const2 = lambda b, t: (0, 0)
+        b1_shape = tuple(
+            jax.ShapeDtypeStruct(s, jnp.float32)
+            for s in [(S_out, 1), (S_out, 1), (V_out, 1), (V_out, 1)]
+        )
+        b1_specs = tuple(
+            pl.BlockSpec(s, const2, memory_space=pltpu.VMEM)
+            for s in [(S_out, 1), (S_out, 1), (V_out, 1), (V_out, 1)]
+        )
+        dysum, dyxh, dnbsum, dnbnh = _call_phase(
+            "b1", ptsT, planesT, idxT, idx, kp, extras, b1_shape, b1_specs, **kw,
+        )
+        extras = (dso, dvo, kmax, dssum,
+                  dysum / M, dyxh / M, dnbsum / M, dnbnh / M)
+        b2_shape = (
+            jax.ShapeDtypeStruct((B, 3, N), jnp.float32),
+            jax.ShapeDtypeStruct((IN1, S_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_ch, V_out), jnp.float32),
+            jax.ShapeDtypeStruct((n_ch, 3), jnp.float32),
+            jax.ShapeDtypeStruct((n_ch, 3), jnp.float32),
+        )
+        b2_specs = (
+            pl.BlockSpec((1, 3, N), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((IN1, S_out), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, V_out), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((n_ch, 3), const2, memory_space=pltpu.VMEM),
+        )
+        dsrcT, dW1, dW2, dWZ0, dWZ1 = _call_phase(
+            "b2", ptsT, planesT, idxT, idx, kp, extras, b2_shape, b2_specs,
+            **kw,
+        )
+        dpts = jnp.swapaxes(dsrcT, 1, 2)  # (B, N, 3)
+        dparams = {
+            "init_scalar": {"linear": {"kernel": dWZ0}},
+            "v2s": {"linear": {"kernel": dWZ1}},
+            "linear1": {"kernel": dW1[_inv_perm, :]},
+            "linear2": {"kernel": dW2},
+            "bn1": {"bn": {"scale": dyxh[:, 0], "bias": dysum[:, 0]}},
+            "bn2": {"bn": {"scale": dnbnh[:, 0], "bias": dnbsum[:, 0]}},
+        }
+        return dpts, dparams
+
+    @jax.custom_vjp
+    def fused_first(points, idx, params):
+        return forward(points, idx, params)[0]
+
+    def fwd(points, idx, params):
+        return forward(points, idx, params)
+
+    def bwd(res, cts):
+        dpts, dparams = backward(res, cts)
+        didx = np.zeros(res[1].shape, dtype=jax.dtypes.float0)
+        return dpts, didx, dparams
+
+    fused_first.defvjp(fwd, bwd)
+    return fused_first

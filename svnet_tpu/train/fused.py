@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from svnet_tpu import ops
 from svnet_tpu.nn.sv_layers import EPS, ste_sign
+from svnet_tpu.ops.pallas.sv_first_train import make_fused_first_round
 from svnet_tpu.ops.pallas.sv_round3_train import make_fused_round
 
 BN_MOM = 0.9
@@ -133,6 +134,8 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
+    S1, V1 = rounds["conv2"][0], rounds["conv2"][1]
+    first = make_fused_first_round(S1, V1, k, interpret=interpret)
     SUB = ("v2s", "linear1", "bn1", "linear2", "bn2")
 
     def apply(params, batch_stats, points, rng=None):
@@ -140,13 +143,21 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
         B, N = points.shape[0], points.shape[1]
         new_stats = {}
 
-        # round 1 (FP): coordinate edges + init_scalar + conv1 in XLA
-        v_e = ops.get_graph_feature(points, k=k)  # (B, N, k, 3, 2)
-        s_e = _v2s_train(p["init_scalar"], v_e, False)
-        (s, v), upd = _svblock_train(p["conv1"], bs["conv1"], (s_e, v_e),
-                                     binary=False)
-        new_stats["conv1"] = upd
-        x1 = ops.svpool((s, v))  # max/mean over k
+        # round 1 (FP): fused first-round kernel (kNN indices from the
+        # same exact top-k as the flax path; points carry no gradient)
+        idx0 = ops.knn(points, k)
+        sub1 = {"init_scalar": p["init_scalar"],
+                **{kk: p["conv1"][kk] for kk in SUB}}
+        s1o, v1_ung, s_mean1, (mu1, var1, mun1, varn1) = first(
+            points, idx0, sub1
+        )
+        g1 = jax.nn.relu(s_mean1 @ p["conv1"]["gate_fc1"]["kernel"])
+        g1 = jax.nn.sigmoid(g1 @ p["conv1"]["gate_fc2"]["kernel"])
+        x1 = (s1o, v1_ung.reshape(B, N, 3, V1) * g1[:, None, None, :])
+        new_stats["conv1"] = {
+            "bn1": {"bn": _stats_update(bs["conv1"]["bn1"]["bn"], mu1, var1)},
+            "bn2": {"bn": _stats_update(bs["conv1"]["bn2"]["bn"], mun1, varn1)},
+        }
 
         outs = [x1]
         for name, (S, V, So, Vo) in rounds.items():
@@ -217,6 +228,8 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
+    S1, V1 = rounds["conv2"][0], rounds["conv2"][1]
+    first = make_fused_first_round(S1, V1, k, interpret=interpret)
     SUB = ("v2s", "linear1", "bn1", "linear2", "bn2")
 
     def apply(params, batch_stats, points, label, rng=None):
@@ -224,13 +237,20 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
         B, N = points.shape[0], points.shape[1]
         new_stats = {}
 
-        # round 1 (FP): coordinate edges + init_scalar + conv1 in XLA
-        v_e = ops.get_graph_feature(points, k=k)  # (B, N, k, 3, 2)
-        s_e = _v2s_train(p["init_scalar"], v_e, False)
-        (s, v), upd = _svblock_train(p["conv1"], bs["conv1"], (s_e, v_e),
-                                     binary=False)
-        new_stats["conv1"] = upd
-        x1 = ops.svpool((s, v))
+        # round 1 (FP): fused first-round kernel (see the cls twin above)
+        idx0 = ops.knn(points, k)
+        sub1 = {"init_scalar": p["init_scalar"],
+                **{kk: p["conv1"][kk] for kk in SUB}}
+        s1o, v1_ung, s_mean1, (mu1, var1, mun1, varn1) = first(
+            points, idx0, sub1
+        )
+        g1 = jax.nn.relu(s_mean1 @ p["conv1"]["gate_fc1"]["kernel"])
+        g1 = jax.nn.sigmoid(g1 @ p["conv1"]["gate_fc2"]["kernel"])
+        x1 = (s1o, v1_ung.reshape(B, N, 3, V1) * g1[:, None, None, :])
+        new_stats["conv1"] = {
+            "bn1": {"bn": _stats_update(bs["conv1"]["bn1"]["bn"], mu1, var1)},
+            "bn2": {"bn": _stats_update(bs["conv1"]["bn2"]["bn"], mun1, varn1)},
+        }
 
         outs = [x1]
         for name, (S, V, So, Vo) in rounds.items():

@@ -224,3 +224,69 @@ def test_fused_pseg_model_apply_parity():
     a = np.concatenate(allg2)
     b = np.concatenate(allg1)
     assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2
+
+
+def test_fused_first_round_grad_parity():
+    """Fused FIRST training round (FP, init_scalar + conv1) vs the flax
+    oracle: outputs, batch stats, and grads w.r.t. params AND points."""
+    from svnet_tpu.ops.pallas.sv_first_train import make_fused_first_round
+    from svnet_tpu.train.fused import _v2s_train
+
+    S_out, V_out = 16, 10
+    key = jax.random.PRNGKey(7)
+    ks = jax.random.split(key, 5)
+    points = jax.random.normal(ks[0], (B, N, 3))
+    init_p = {"linear": {"kernel": jax.random.normal(ks[1], (2, 3)) * 0.5}}
+    idx = ops.knn(points, K)
+    v_e = ops.get_graph_feature(points, K, idx=idx)
+    s_e = _v2s_train(init_p, v_e, False)
+    block = svl.SVBlock(S_out, V_out, binary=False)
+    variables = block.init(ks[2], (s_e, v_e), True)
+    stats0 = variables["batch_stats"]
+    params_all = {"init_scalar": init_p, "conv1": variables["params"]}
+    cs = jax.random.normal(ks[3], (B, N, S_out))
+    cv = jax.random.normal(ks[4], (B, N, 3, V_out))
+
+    def ref_loss(params, pts):
+        idx_ = ops.knn(pts, K)
+        ve = ops.get_graph_feature(pts, K, idx=idx_)
+        se = _v2s_train(params["init_scalar"], ve, False)
+        (so, vo), _upd = block.apply(
+            {"params": params["conv1"], "batch_stats": stats0}, (se, ve),
+            True, mutable=["batch_stats"],
+        )
+        am = jnp.argmax(so, axis=2, keepdims=True)
+        so = jnp.take_along_axis(so, am, axis=2)[:, :, 0]
+        vo = jnp.mean(vo, axis=2)
+        return jnp.sum(so * cs) + jnp.sum(vo * cv), (so, vo)
+
+    fused = make_fused_first_round(S_out, V_out, K, interpret=True)
+
+    def fused_loss(params, pts):
+        idx_ = ops.knn(pts, K)
+        sub = {"init_scalar": params["init_scalar"],
+               **{kk: params["conv1"][kk] for kk in SUB}}
+        so, vo_ung, s_mean, _stats = fused(pts, idx_, sub)
+        g = jax.nn.relu(s_mean @ params["conv1"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ params["conv1"]["gate_fc2"]["kernel"])
+        vo = vo_ung.reshape(B, N, 3, V_out) * g[:, None, None, :]
+        return jnp.sum(so * cs) + jnp.sum(vo * cv), (so, vo)
+
+    (l1, (so1, vo1)), g1 = jax.value_and_grad(
+        ref_loss, argnums=(0, 1), has_aux=True)(params_all, points)
+    (l2, (so2, vo2)), g2 = jax.value_and_grad(
+        fused_loss, argnums=(0, 1), has_aux=True)(params_all, points)
+
+    np.testing.assert_allclose(np.asarray(so2), np.asarray(so1),
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vo2), np.asarray(vo1),
+                               rtol=2e-4, atol=2e-4)
+    # points gradient (kNN indices are piecewise constant in both paths)
+    np.testing.assert_allclose(np.asarray(g2[1]), np.asarray(g1[1]),
+                               rtol=2e-3, atol=2e-4)
+    flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
+    for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
+        np.testing.assert_allclose(
+            np.asarray(flat2[path]), np.asarray(leaf), rtol=2e-3, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path),
+        )
