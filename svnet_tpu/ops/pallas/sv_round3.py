@@ -446,6 +446,7 @@ def _round3_kernel(
     S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
     W: int, binary: bool, mode: str, gb8: bool = False,
     take_wins: bool = False, emit_wins: bool = False, blk8: bool = False,
+    ablate: str = "",
 ):
     # optional graph-reuse refs ride at the end of the input/output lists
     # (config.graph_reuse): ``take_wins`` skips distances/keys/selection and
@@ -531,6 +532,17 @@ def _round3_kernel(
             for r in range(k):
                 winsout_ref[0, r : r + 1, :] = wins[r]
 
+    if ablate == "sel" and not take_wins:
+        # profiling leg: selection + key build only. Outputs consume the
+        # winner ids so Mosaic cannot dead-code the selection work.
+        acc = wins[0].astype(jnp.float32)
+        for w_ in wins[1:]:
+            acc = acc + w_.astype(jnp.float32)
+        s_out_ref[0] = jnp.broadcast_to(acc, (S_out, T))
+        v_out_ref[0] = jnp.broadcast_to(acc, (3 * V_out, T))
+        ssum_ref[0, 0] = jnp.zeros_like(ssum_ref[0, 0])
+        return
+
     # centre-derived constants, reused across chunks. wz column slices are
     # 1-lane unaligned reads of a TINY (2V, 3) array — one-vreg shuffles,
     # hoisted out of the rank loop.
@@ -542,15 +554,22 @@ def _round3_kernel(
     s_acc = None
     v_acc = [None, None, None]
     se_sum = None
+    gath_acc = None
 
-    for chunk in range(k // R):
-        # ---- per-rank gather into channel-major scratch ----
-        for r in range(R):
-            mask = (rows == wins[chunk * R + r]).astype(jnp.int8)
-            g = jax.lax.dot_general(
+    def gather_dots(wins_g):
+        """Issue the group's one-hot gather matmuls (MXU, no decode)."""
+        outs = []
+        for win in wins_g:
+            mask = (rows == win).astype(jnp.int8)
+            outs.append(jax.lax.dot_general(
                 planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
-            )  # (PC, T)
+            ))  # (PC, T)
+        return outs
+
+    def decode_group(gs):
+        """Decode the group's raw gathers into channel-major scratch."""
+        for r, g in enumerate(gs):
             if exact:
                 nbr = _decode_exact_t(g, C)
             elif gb8:
@@ -559,15 +578,28 @@ def _round3_kernel(
                 nbr = _decode_fast_t(g, invT_ref[:], C)
             nbr_scratch[:, r * T : (r + 1) * T] = nbr
 
-        L = R * T
-        nbrT = nbr_scratch[:]  # (C, L)
-        ctr_rep = jnp.tile(ctr_g, (1, R))  # (C, L)
+    def block_chunk(Rg):
+        """SVBlock math over the Rg gathered ranks currently in scratch,
+        folded into the running pool accumulators."""
+        nonlocal s_acc, v_acc, se_sum, gath_acc
+        L = Rg * T
+        if ablate == "gather":
+            # profiling leg: selection + gather + decode, no block math.
+            red = jnp.sum(nbr_scratch[:, 0:L], axis=0, keepdims=True)
+            part = red[:, 0:T]
+            for r in range(1, Rg):
+                part = part + red[:, r * T : (r + 1) * T]
+            gath_acc = part if gath_acc is None else gath_acc + part
+            return
+        nbrT = nbr_scratch[:, 0:L]  # (C, L)
+        ctr_rep = jnp.tile(ctr_g, (1, Rg))  # (C, L)
         e = nbrT - ctr_rep
 
         # v_e[i]: (2V, L) rows [diff V | ctr V]
         v_e = [
             jnp.concatenate(
-                [e[S + i * V : S + (i + 1) * V, :], jnp.tile(ctr_v[i], (1, R))],
+                [e[S + i * V : S + (i + 1) * V, :],
+                 jnp.tile(ctr_v[i], (1, Rg))],
                 axis=0,
             )
             for i in range(3)
@@ -583,7 +615,9 @@ def _round3_kernel(
             sv.append(acc)  # (2V, L)
 
         if S > 0:
-            s_e = jnp.concatenate([e[0:S, :], jnp.tile(ctr_s, (1, R))], axis=0)
+            s_e = jnp.concatenate(
+                [e[0:S, :], jnp.tile(ctr_s, (1, Rg))], axis=0
+            )
             parts = [s_e] + sv
             chunk_sum = jnp.sum(s_e, axis=1, keepdims=True)  # (2S, 1)
             se_sum = chunk_sum if se_sum is None else se_sum + chunk_sum
@@ -612,8 +646,8 @@ def _round3_kernel(
             )
         y = h * a1T_ref[:] + b1T_ref[:]
         y = jnp.where(y >= 0, y, 0.2 * y)
-        # svpool max over the chunk's ranks: R lane-aligned (S_out, T) slices
-        for r in range(R):
+        # svpool max over the chunk's ranks: Rg lane-aligned (S_out, T) slices
+        for r in range(Rg):
             ys = y[:, r * T : (r + 1) * T]
             s_acc = ys if s_acc is None else jnp.maximum(s_acc, ys)
 
@@ -633,9 +667,31 @@ def _round3_kernel(
         for i in range(3):
             vi = wl[i] * f  # (V_out, L)
             vsum = vi[:, 0:T]
-            for r in range(1, R):
+            for r in range(1, Rg):
                 vsum = vsum + vi[:, r * T : (r + 1) * T]
             v_acc[i] = vsum if v_acc[i] is None else v_acc[i] + vsum
+
+    # NOTE (r3.1, measured): software-pipelining selection groups with the
+    # previous group's gather matmuls — in either emission order, including
+    # dots-issued-before-the-next-sweep — measured ~4% SLOWER than this
+    # selection-first order at cls fast shapes (56/62/91 vs 55/57/90
+    # us/cloud for conv2/3/4); Mosaic does not overlap the one-hot MXU
+    # work with the selection VPU sweeps across that distance. Rejected.
+    # both paths chunk by the same group pattern so pooled-sum float
+    # association is bitwise identical between a normal round and its
+    # wins_in replay (graph-reuse roundtrip test)
+    done = 0
+    while done < k:
+        G = min(_SEL_G, k - done)
+        decode_group(gather_dots([wins[done + r] for r in range(G)]))
+        block_chunk(G)
+        done += G
+
+    if ablate == "gather":
+        s_out_ref[0] = jnp.broadcast_to(gath_acc, (S_out, T))
+        v_out_ref[0] = jnp.broadcast_to(gath_acc, (3 * V_out, T))
+        ssum_ref[0, 0] = jnp.zeros_like(ssum_ref[0, 0])
+        return
 
     s_out_ref[0] = s_acc
     inv_k = jnp.float32(1.0 / k)
@@ -665,6 +721,7 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     )
     fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
     per_t = N * 2 if reuse else N * 4 * (5 if mode == "exact" else 4)
+    rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
     # Mosaic requires the block's lane dim be a multiple of 128 or the full
     # array dim: T is either N (small clouds) or a multiple-of-128 divisor
     T = max(128, (budget // 2 - fixed) // max(per_t, 1) // 128 * 128)
@@ -677,12 +734,7 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     T = min(T, 512)
     if N % T:
         T = N  # N < 128 or not a multiple of 128: whole-cloud tiles
-    rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
-    R = max(1, (budget - fixed - per_t * T) // max(rows * T * 4, 1))
-    R = min(R, k)
-    while k % R:
-        R -= 1
-    return T, R
+    return T, min(_SEL_G, k)
 
 
 BS = 128  # Morton block size for window pruning (lane-tile aligned)
@@ -766,7 +818,7 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
-                     "mode", "interpret", "window", "emit_wins"),
+                     "mode", "interpret", "window", "emit_wins", "ablate"),
 )
 def sv_round3(
     src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
@@ -774,7 +826,7 @@ def sv_round3(
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     binary: bool = True, mode: str = "exact", interpret: bool = False,
     window: int = 0, wins_in: jax.Array | None = None,
-    emit_wins: bool = False,
+    emit_wins: bool = False, ablate: str = "",
 ):
     """v3 fused round; drop-in contract-compatible with sv_round2.
 
@@ -788,6 +840,10 @@ def sv_round3(
     tile with a lax.cond full-scan fallback — exact-mode results are
     bitwise the full scan's; fast/approx differ only within their own
     quantization-tie class.
+
+    ``ablate`` (profiling only, outputs are garbage): "sel" = key build +
+    selection only; "gather" = + one-hot gather + decode, no block math.
+    The legs behind PERF.md's v3 stage tables (tools/bench_round3_stages.py).
     """
     assert mode in MODES, mode
     assert wins_in is None or not window, "graph reuse excludes windowing"
@@ -799,7 +855,11 @@ def sv_round3(
                                reuse=wins_in is not None)
         T = T or T0
         R = R or R0
-    assert N % T == 0 and k % R == 0, (N, T, k, R)
+    # gather/block chunking is pinned to the extraction group size in both
+    # paths (bitwise-identical pooled-sum association between a normal
+    # round and its wins_in replay); R only sizes the chunk scratch
+    R = max(R, min(_SEL_G, k))
+    assert N % T == 0, (N, T)
     assert mode == "exact" or N <= (1 << 20)
     exact = mode == "exact"
 
@@ -892,6 +952,7 @@ def sv_round3(
                 binary=binary, mode=mode, gb8=gb8,
                 take_wins=wins_in is not None, emit_wins=emit_wins,
                 blk8=config.round_block_matmul == "int8",
+                ablate=ablate,
             ),
             grid=(B, nt),
             in_specs=in_specs,
@@ -1016,10 +1077,17 @@ def _round3_first_kernel(
     v_acc = None
     ss_acc = None
 
-    for chunk in range(k // R):
+    grp_sizes = []
+    left = k
+    while left > 0:
+        grp_sizes.append(min(_SEL_G, left))
+        left -= grp_sizes[-1]
+
+    done = 0
+    for R in grp_sizes:
         nbr_cols = []
         for r in range(R):
-            mask = (rows == wins[chunk * R + r]).astype(jnp.int8)
+            mask = (rows == wins[done + r]).astype(jnp.int8)
             g = jax.lax.dot_general(
                 planes_w, mask, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.int32,
@@ -1028,6 +1096,7 @@ def _round3_first_kernel(
                 _decode_exact_t(g, C) if exact else
                 (_decode_q8_t if gb8 else _decode_fast_t)(g, invT_ref[:], C)
             )
+        done += R
         nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L) — tiny, no scratch
 
         L = R * T
@@ -1137,7 +1206,7 @@ def sv_round3_first(
         T0, R0 = _round3_tiles(N, k, 3, 0, 1, S_out, V_out, mode)
         T = T or T0
         R = R or R0
-    assert N % T == 0 and k % R == 0, (N, T, k, R)
+    assert N % T == 0, (N, T)  # chunking is group-patterned, R sizes scratch
     exact = mode == "exact"
 
     ptsT = jnp.swapaxes(points, 1, 2)  # (B, 3, N)

@@ -106,22 +106,22 @@ def test_round3_approx_fold_width_knob():
     finite outputs of the right shape."""
     from svnet_tpu import config
 
-    src = jax.random.normal(jax.random.PRNGKey(2), (B, 256, S + 3 * V))
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 128, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(3))
-    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=4, T=64, R=4,
               binary=True, interpret=True)
     fast = sv_round3(src, folded, mode="fast", **kw)
     old = config.approx_fold
     try:
-        config.set_approx_fold(256)
-        a_nofold = sv_round3(src, folded, mode="approx", **kw)
         config.set_approx_fold(128)
-        a_128 = sv_round3(src, folded, mode="approx", **kw)
+        a_nofold = sv_round3(src, folded, mode="approx", **kw)
+        config.set_approx_fold(64)
+        a_64 = sv_round3(src, folded, mode="approx", **kw)
     finally:
         config.approx_fold = old
     for got, want in zip(a_nofold, fast):
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
-    assert all(np.isfinite(np.asarray(x)).all() for x in a_128)
+    assert all(np.isfinite(np.asarray(x)).all() for x in a_64)
 
 
 def test_round3_approx_q8_gather():
@@ -141,9 +141,9 @@ def test_round3_approx_q8_gather():
     err = np.abs(np.asarray(back) - np.asarray(g))
     assert (err <= 0.5 * step[None, :, None] * 1.001).all()
 
-    src = jax.random.normal(jax.random.PRNGKey(2), (B, 256, S + 3 * V))
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 128, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(3))
-    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=64, R=4,
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=4, T=64, R=4,
               binary=True, mode="approx", interpret=True)
     a16 = sv_round3(src, folded, **kw)
     old = config.approx_gather_bits
@@ -254,12 +254,15 @@ def test_exact_pair_selection_matches_update():
     the same min-row-id winner."""
     from svnet_tpu import config
 
-    # heavy ties: coordinates snapped to a coarse grid + duplicated points
-    src = jax.random.normal(jax.random.PRNGKey(5), (B, N, S + 3 * V))
+    # heavy ties: coordinates snapped to a coarse grid + duplicated points.
+    # Tiny shapes (N=64, k=4): interpret-mode cost scales with the traced
+    # op count, and the tie/tournament logic is shape-independent.
+    N2, K2 = 64, 4
+    src = jax.random.normal(jax.random.PRNGKey(5), (B, N2, S + 3 * V))
     src = jnp.round(src * 2.0) / 2.0
-    src = src.at[:, N // 2 :].set(src[:, : N // 2])  # exact duplicates
+    src = src.at[:, N2 // 2 :].set(src[:, : N2 // 2])  # exact duplicates
     folded = _folded(jax.random.PRNGKey(1))
-    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
               binary=True, mode="exact", interpret=True)
 
     s_u, v_u, g_u = sv_round3(src, folded, **kw)
@@ -282,20 +285,22 @@ def test_graph_reuse_wins_roundtrip(mode):
     (config.graph_reuse mechanism, ops/pallas/sv_round3.py)."""
     from svnet_tpu.ops.knn import knn
 
-    src = jax.random.normal(jax.random.PRNGKey(2), (B, N, S + 3 * V))
+    # tiny shapes: the roundtrip is association/id bookkeeping, not math
+    N2, K2 = 64, 6
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, N2, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(3))
-    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
               binary=True, mode=mode, interpret=True)
     base = sv_round3(src, folded, **kw)
     *em, wins = sv_round3(src, folded, emit_wins=True, **kw)
-    assert wins.shape == (B, K, N) and wins.dtype == jnp.int32
+    assert wins.shape == (B, K2, N2) and wins.dtype == jnp.int32
     for a, b in zip(base, em):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     re = sv_round3(src, folded, wins_in=wins, **kw)
     for a, b in zip(base, re):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     if mode == "exact":
-        idx = knn(src, K)
+        idx = knn(src, K2)
         np.testing.assert_array_equal(
             np.sort(np.asarray(wins).transpose(0, 2, 1), -1),
             np.sort(np.asarray(idx), -1),
@@ -305,9 +310,10 @@ def test_graph_reuse_wins_roundtrip(mode):
 def test_graph_reuse_first_round_emits_xyz_knn():
     from svnet_tpu.ops.knn import knn
 
-    pts = jax.random.normal(jax.random.PRNGKey(4), (B, N, 3))
+    N2, K2 = 64, 4
+    pts = jax.random.normal(jax.random.PRNGKey(4), (B, N2, 3))
     folded = _folded_first(jax.random.PRNGKey(5), n_ch=3)
-    kw = dict(S_out=S_out, V_out=V_out, k=K, T=T, R=4, cross=True,
+    kw = dict(S_out=S_out, V_out=V_out, k=K2, T=N2, R=4, cross=True,
               mode="exact", interpret=True)
     base = sv_round3_first(pts, folded, **kw)
     *em, wins = sv_round3_first(pts, folded, emit_wins=True, **kw)
@@ -315,7 +321,7 @@ def test_graph_reuse_first_round_emits_xyz_knn():
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     np.testing.assert_array_equal(
         np.sort(np.asarray(wins).transpose(0, 2, 1), -1),
-        np.sort(np.asarray(knn(pts, K)), -1),
+        np.sort(np.asarray(knn(pts, K2)), -1),
     )
 
 
@@ -326,12 +332,13 @@ def test_round_block_matmul_int8_bitwise(mode):
     2^24, so h (and everything downstream) matches bitwise."""
     from svnet_tpu import config
 
-    src = jax.random.normal(jax.random.PRNGKey(6), (B, N, S + 3 * V))
+    N2, K2 = 64, 4
+    src = jax.random.normal(jax.random.PRNGKey(6), (B, N2, S + 3 * V))
     folded = _folded(jax.random.PRNGKey(7))
     # production binary folding emits ±1 w1 (fold_svblock_params sign());
     # the int8 path relies on that, so the fixture must too
     folded["w1"] = jnp.sign(folded["w1"])
-    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K, T=T, R=4,
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
               binary=True, mode=mode, interpret=True)
     base = sv_round3(src, folded, **kw)
     try:
