@@ -99,6 +99,12 @@ def main():
              "8 = one int8 plane, half the gather MXU cost)",
     )
     ap.add_argument(
+        "--fast-gather-bits", type=int, default=None, choices=[8, 16],
+        help="fast-mode gather precision (config.set_fast_gather_bits; "
+             "8 = one int8 plane, half the gather MXU cost, fast-quality "
+             "selection)",
+    )
+    ap.add_argument(
         "--block-matmul", choices=["bf16", "int8"], default=None,
         help="fused-round ±1 block matmul operand type "
              "(config.set_round_block_matmul; int8 = 2x MXU rate, "
@@ -123,6 +129,10 @@ def main():
         from svnet_tpu import config
 
         config.set_approx_gather_bits(args.approx_gather_bits)
+    if args.fast_gather_bits:
+        from svnet_tpu import config
+
+        config.set_fast_gather_bits(args.fast_gather_bits)
     if args.exact_selection:
         from svnet_tpu import config
 
@@ -271,6 +281,8 @@ def main():
         out["approx_fold"] = args.approx_fold
     if args.approx_gather_bits and args.approx_gather_bits != 16:
         out["approx_gather_bits"] = args.approx_gather_bits
+    if args.fast_gather_bits and args.fast_gather_bits != 16:
+        out["fast_gather_bits"] = args.fast_gather_bits
     print(json.dumps(out))
 
 

@@ -104,6 +104,12 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
              "8 = one int8 plane, half the gather MXU cost; 0 = default 16)",
     )
     p.add_argument(
+        "--fast-gather-bits", type=int, default=0, choices=[0, 8, 16],
+        help="fast-mode gather precision (config.set_fast_gather_bits; "
+             "8 = one int8 plane, half the gather MXU cost with fast-"
+             "quality selection; 0 = default 16)",
+    )
+    p.add_argument(
         "--graph-reuse", choices=["none", "conv2", "spatial"], default="none",
         help="kNN graph reuse across DGCNN rounds for --fused eval "
              "(config.set_graph_reuse): conv2 = conv3/4 reuse conv2's "

@@ -115,6 +115,26 @@ def set_approx_gather_bits(bits: int) -> None:
     _invalidate()
 
 
+fast_gather_bits: int = 16  # fast-mode gather precision (sv_round3)
+
+
+def set_fast_gather_bits(bits: int) -> None:
+    """Fast-mode one-hot gather precision (trace-time): 16 (default, two
+    int8 planes, ~2^-15 absolute error of the per-channel max) or 8 (ONE
+    int8 plane, ~2^-8 absolute — HALF the gather's MXU cost) — the same
+    plane trade as set_approx_gather_bits but with fast's UNFOLDED
+    selection, so neighbour sets keep fast-mode quality (no fold-collision
+    recall loss). The gather MXU floor is the largest single wall of a
+    partseg round (k=40, conv4 C=127: ~218 us/cloud at 16-bit), which is
+    what this knob halves. Centres decode through the same grid, so
+    self-edges still cancel exactly. Validate on a trained checkpoint
+    before serving with 8."""
+    global fast_gather_bits
+    assert bits in (8, 16), bits
+    fast_gather_bits = bits
+    _invalidate()
+
+
 round_block_matmul: str = "bf16"  # 'bf16' | 'int8' — in-kernel ±1 matmul
 
 

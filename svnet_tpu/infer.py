@@ -221,28 +221,77 @@ class SVDGCNNClsEngine:
             ].astype(jnp.int32)
         return ops.knn(x, self.k)
 
+    def _trunk_round3(self, points: jax.Array):
+        """Channel-major trunk: activations stay (B, C, N) BETWEEN rounds
+        (sv_round3 cm contract), cutting the per-round XLA transpose
+        sandwich to the kernel's single row-major distance operand.
+        Returns (s_c (B, N, ΣS), v_c (B, N, 3, ΣV)) — bitwise identical
+        to the row-major plumbing (pure data movement)."""
+        p, k = self.p, self.k
+        B, N = points.shape[0], points.shape[1]
+        reuse = config.graph_reuse
+        assert reuse == "none" or not self.window, \
+            "config.graph_reuse excludes Morton windowing"
+        wins = None
+        out1 = sv_round3_first(
+            points, self.folded_first,
+            S_out=64 // 2, V_out=64 // 6, k=k,
+            mode=self.mode, interpret=self.interpret,
+            window=self.window, emit_wins=reuse == "spatial", cm=True,
+        )
+        s1, v1, s_mean = out1[:3]  # (B, 32, N), (B, 3*10, N)
+        if reuse == "spatial":
+            wins = out1[3]
+        g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])  # (B, 10)
+        v1 = v1 * jnp.tile(g, (1, 3))[:, :, None]
+
+        outs = [(s1, v1)]
+        for name, (S, V, S_out, V_out) in _ROUNDS.items():
+            s_in, v_in = outs[-1]
+            joint = jnp.concatenate([s_in, v_in], axis=1)  # (B, C, N)
+            emit = reuse == "conv2" and name == "conv2"
+            res = sv_round3(
+                joint, self.folded[name],
+                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                binary=self.binary, mode=self.mode,
+                interpret=self.interpret, window=self.window,
+                wins_in=wins, emit_wins=emit, cm=True,
+            )
+            so, vo, se_mean = res[:3]
+            if emit:
+                wins = res[3]
+            gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
+            gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
+            vo = vo * jnp.tile(gg, (1, 3))[:, :, None]
+            outs.append((so, vo))
+
+        s_c = jnp.swapaxes(jnp.concatenate([o[0] for o in outs], axis=1),
+                           1, 2)  # (B, N, 256)
+        v_rows = jnp.swapaxes(jnp.concatenate([o[1] for o in outs], axis=1),
+                              1, 2)  # (B, N, 3*83) per-round i-major rows
+        vdims = [64 // 6, 64 // 6, 128 // 6, 256 // 6]
+        VT = sum(vdims)
+        perm, base = [], 0
+        for i in range(3):
+            base = 0
+            for Vr in vdims:
+                perm += [base + i * Vr + c for c in range(Vr)]
+                base += 3 * Vr
+        v_c = jnp.take(v_rows, jnp.asarray(perm, jnp.int32), axis=-1)
+        return s_c, v_c.reshape(B, N, 3, VT)
+
     def _forward(self, points: jax.Array) -> jax.Array:
         p, bs, k = self.p, self.bs, self.k
         B, N = points.shape[0], points.shape[1]
 
+        if self.rounds_impl == "round3":
+            s_c, v_c = self._trunk_round3(points)
+            return self._tail(points, s_c, v_c)
+
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)
-        reuse = config.graph_reuse if self.rounds_impl == "round3" else "none"
-        assert reuse == "none" or not self.window, \
-            "config.graph_reuse excludes Morton windowing"
-        wins = None
-        if self.rounds_impl == "round3":
-            out1 = sv_round3_first(
-                points, self.folded_first,
-                S_out=64 // 2, V_out=64 // 6, k=k,
-                mode=self.mode, interpret=self.interpret,
-                window=self.window,
-                emit_wins=reuse == "spatial",
-            )
-            s1, v1_flat, s_mean = out1[:3]
-            if reuse == "spatial":
-                wins = out1[3]
-        elif self.rounds_impl == "round2":
+        if self.rounds_impl == "round2":
             s1, v1_flat, s_mean = sv_round2_first(
                 points, self.folded_first,
                 S_out=64 // 2, V_out=64 // 6, k=k,
@@ -276,21 +325,8 @@ class SVDGCNNClsEngine:
             joint = jnp.concatenate(
                 [s_in, v_in.reshape(B, N, -1)], axis=-1
             )
-            if self.rounds_impl in ("round", "round2", "round3"):
-                if self.rounds_impl == "round3":
-                    # round3 sizes its own tiles (no _auto_round_tile)
-                    emit = reuse == "conv2" and name == "conv2"
-                    res = sv_round3(
-                        joint, self.folded[name],
-                        S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                        binary=self.binary, mode=self.mode,
-                        interpret=self.interpret, window=self.window,
-                        wins_in=wins, emit_wins=emit,
-                    )
-                    so, vo, se_mean = res[:3]
-                    if emit:
-                        wins = res[3]
-                elif self.rounds_impl == "round2":
+            if self.rounds_impl in ("round", "round2"):
+                if self.rounds_impl == "round2":
                     t_round = _auto_round_tile(
                         N, self.tile, k, S + 3 * V, self.mode
                     )
@@ -326,6 +362,14 @@ class SVDGCNNClsEngine:
 
         s_c = jnp.concatenate([o[0] for o in outs], axis=-1)  # (B, N, 256)
         v_c = jnp.concatenate([o[1] for o in outs], axis=-1)  # (B, N, 3, 83)
+        return self._tail(points, s_c, v_c)
+
+    def _tail(self, points: jax.Array, s_c: jax.Array,
+              v_c: jax.Array) -> jax.Array:
+        """conv5 + SVFuse point block and the MLP head, shared by the
+        channel-major round3 trunk and the legacy row-major trunks."""
+        p, bs = self.p, self.bs
+        B, N = points.shape[0], points.shape[1]
 
         # conv5 gate from the materialized skip scalars
         gm = jnp.mean(s_c, axis=1)

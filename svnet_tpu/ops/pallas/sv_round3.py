@@ -716,9 +716,9 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     tiles grow toward the 512 cap.
     """
     budget = 11 * 1024 * 1024
-    nplanes = 4 if mode == "exact" else (
-        1 if mode == "approx" and config.approx_gather_bits == 8 else 2
-    )
+    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
+        mode == "fast" and config.fast_gather_bits == 8)
+    nplanes = 4 if mode == "exact" else (1 if gb8 else 2)
     fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
     per_t = N * 2 if reuse else N * 4 * (5 if mode == "exact" else 4)
     rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
@@ -818,7 +818,8 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
 @functools.partial(
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
-                     "mode", "interpret", "window", "emit_wins", "ablate"),
+                     "mode", "interpret", "window", "emit_wins", "ablate",
+                     "cm"),
 )
 def sv_round3(
     src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
@@ -826,7 +827,7 @@ def sv_round3(
     *, S: int, V: int, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     binary: bool = True, mode: str = "exact", interpret: bool = False,
     window: int = 0, wins_in: jax.Array | None = None,
-    emit_wins: bool = False, ablate: str = "",
+    emit_wins: bool = False, ablate: str = "", cm: bool = False,
 ):
     """v3 fused round; drop-in contract-compatible with sv_round2.
 
@@ -844,11 +845,20 @@ def sv_round3(
     ``ablate`` (profiling only, outputs are garbage): "sel" = key build +
     selection only; "gather" = + one-hot gather + decode, no block math.
     The legs behind PERF.md's v3 stage tables (tools/bench_round3_stages.py).
+
+    ``cm`` (channel-major plumbing): ``src`` arrives (B, C, N) and
+    s_out/v_out return (B, S_out, N)/(B, 3*V_out, N) untransposed — the
+    engines keep activations channel-major BETWEEN rounds, cutting the
+    XLA transpose sandwich from 3 relayouts per round to 1. Values are
+    bitwise identical to the row-major contract (pure data movement).
     """
     assert mode in MODES, mode
     assert wins_in is None or not window, "graph reuse excludes windowing"
     assert wins_in is None or not emit_wins
-    B, N, _ = src.shape
+    if cm:  # channel-major plumbing: src arrives (B, C, N)
+        B, _, N = src.shape
+    else:
+        B, N, _ = src.shape
     C = S + 3 * V
     if not T or not R:
         T0, R0 = _round3_tiles(N, k, C, S, V, S_out, V_out, mode,
@@ -863,8 +873,13 @@ def sv_round3(
     assert mode == "exact" or N <= (1 << 20)
     exact = mode == "exact"
 
-    srcT = jnp.swapaxes(src, 1, 2)  # (B, C, N)
-    gb8 = mode == "approx" and config.approx_gather_bits == 8
+    if cm:
+        srcT = src  # already (B, C, N); ONE transpose for the kernel's
+        src = jnp.swapaxes(srcT, 1, 2)  # row-major distance operand
+    else:
+        srcT = jnp.swapaxes(src, 1, 2)  # (B, C, N)
+    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
+        mode == "fast" and config.fast_gather_bits == 8)
     if exact:
         planesT = pack_planes_exact_t(srcT)
         invT = jnp.ones((C, 1), jnp.float32)
@@ -980,11 +995,14 @@ def sv_round3(
         res = call(N, keep_dummy)
     s_out, v_out, ssum = res[:3]
     s_edge_mean = jnp.sum(ssum[:, :, :, 0], axis=1) / (N * k)
-    out = (
-        jnp.swapaxes(s_out, 1, 2),
-        jnp.swapaxes(v_out, 1, 2),
-        s_edge_mean,
-    )
+    if cm:  # channel-major out: (B, S_out, N), (B, 3*V_out, N) as written
+        out = (s_out, v_out, s_edge_mean)
+    else:
+        out = (
+            jnp.swapaxes(s_out, 1, 2),
+            jnp.swapaxes(v_out, 1, 2),
+            s_edge_mean,
+        )
     return out + (res[3],) if emit_wins else out
 
 
@@ -1182,14 +1200,14 @@ def _round3_first_kernel(
 @functools.partial(
     jax.jit,
     static_argnames=("S_out", "V_out", "k", "T", "R", "mode", "cross",
-                     "interpret", "window", "emit_wins"),
+                     "interpret", "window", "emit_wins", "cm"),
 )
 def sv_round3_first(
     points: jax.Array,  # (B, N, 3)
     folded: Dict[str, jax.Array],
     *, S_out: int, V_out: int, k: int, T: int = 0, R: int = 0,
     mode: str = "exact", cross: bool = False, interpret: bool = False,
-    window: int = 0, emit_wins: bool = False,
+    window: int = 0, emit_wins: bool = False, cm: bool = False,
 ):
     """v3 fused first round; contract-compatible with sv_round2_first.
 
@@ -1210,7 +1228,8 @@ def sv_round3_first(
     exact = mode == "exact"
 
     ptsT = jnp.swapaxes(points, 1, 2)  # (B, 3, N)
-    gb8 = mode == "approx" and config.approx_gather_bits == 8
+    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
+        mode == "fast" and config.fast_gather_bits == 8)
     if exact:
         planesT = pack_planes_exact_t(ptsT)
         invT = jnp.ones((3, 1), jnp.float32)
@@ -1314,10 +1333,13 @@ def sv_round3_first(
         [jj * n_ch + c for c in range(n_ch) for jj in range(3)], dtype=jnp.int32
     )
     s_mean = jnp.sum(ssum[:, :, :, 0], axis=1)[:, perm] / (N * k)
-    out = (
-        jnp.swapaxes(s_out, 1, 2),
-        jnp.swapaxes(v_out, 1, 2),
-        s_mean,
-    )
+    if cm:  # channel-major out (see sv_round3): engines skip the swaps
+        out = (s_out, v_out, s_mean)
+    else:
+        out = (
+            jnp.swapaxes(s_out, 1, 2),
+            jnp.swapaxes(v_out, 1, 2),
+            s_mean,
+        )
     return out + (res[3],) if emit_wins else out
 

@@ -82,6 +82,8 @@ def _main():
     ap.add_argument("--mode", choices=["exact", "fast", "approx"],
                     default="fast")
     ap.add_argument("--approx-fold", type=int, default=0)
+    ap.add_argument("--fast-gather-bits", type=int, default=0,
+                    choices=[0, 8, 16])
     ap.add_argument("--approx-gather-bits", type=int, default=0,
                     choices=[0, 8, 16])
     ap.add_argument("--graph-reuse", default="none",
@@ -98,6 +100,8 @@ def _main():
         config.set_approx_fold(args.approx_fold)
     if args.approx_gather_bits:
         config.set_approx_gather_bits(args.approx_gather_bits)
+    if args.fast_gather_bits:
+        config.set_fast_gather_bits(args.fast_gather_bits)
     if args.graph_reuse != "none":
         config.set_graph_reuse(args.graph_reuse)
 

@@ -179,6 +179,8 @@ def _apply_approx_knobs(args) -> None:
         config.set_approx_fold(args.approx_fold)
     if getattr(args, "approx_gather_bits", 0):
         config.set_approx_gather_bits(args.approx_gather_bits)
+    if getattr(args, "fast_gather_bits", 0):
+        config.set_fast_gather_bits(args.fast_gather_bits)
     if getattr(args, "graph_reuse", "none") != "none":
         config.set_graph_reuse(args.graph_reuse)
 

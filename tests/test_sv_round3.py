@@ -161,6 +161,38 @@ def test_round3_approx_q8_gather():
         assert np.mean(np.abs(g_ - w_)) < 0.15 * np.mean(np.abs(w_)) + 1e-3
 
 
+def test_round3_fast_gb8_gather():
+    """config.fast_gather_bits=8: fast-quality selection with one int8
+    gather plane. With the approx fold disabled (fold >= N) approx and
+    fast share identical packed keys and selection, so fast+gb8 must be
+    BITWISE equal to approx+gb8 — and within the q8 decode envelope of
+    fast-16."""
+    from svnet_tpu import config
+
+    src = jax.random.normal(jax.random.PRNGKey(2), (B, 128, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(3))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=4, T=64, R=4,
+              binary=True, interpret=True)
+    f16 = sv_round3(src, folded, mode="fast", **kw)
+    try:
+        config.set_fast_gather_bits(8)
+        f8 = sv_round3(src, folded, mode="fast", **kw)
+        config.set_approx_gather_bits(8)
+        config.set_approx_fold(128)  # fold >= N: approx selection == fast
+        a8 = sv_round3(src, folded, mode="approx", **kw)
+    finally:
+        config.fast_gather_bits = 16
+        config.approx_gather_bits = 16
+        config.approx_fold = 256
+        jax.clear_caches()
+    for got, want in zip(f8, a8):
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+    for got, want in zip(f8, f16):
+        g_, w_ = np.asarray(got), np.asarray(want)
+        assert np.isfinite(g_).all()
+        assert np.mean(np.abs(g_ - w_)) < 0.15 * np.mean(np.abs(w_)) + 1e-3
+
+
 def test_prune_compaction_exact_matches_full():
     """Morton block-skipping (certified compaction) returns bitwise the
     full scan's results in exact mode; the uncertified path falls back."""
