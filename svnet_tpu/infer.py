@@ -491,34 +491,82 @@ class SVDGCNNPsegEngine:
         )
         self._jit_forward = jax.jit(self._forward)
 
+    def _trunk_round3(self, points: jax.Array):
+        """Channel-major trunk (see SVDGCNNClsEngine._trunk_round3):
+        activations stay (B, C, N) between rounds, one relayout per round
+        instead of three. Returns (s_c (B, N, S_c), v_c (B, N, 3, V_c)),
+        bitwise identical to the row-major plumbing. At partseg shapes
+        (N=2048) the relayouts this removes are 16x bigger than cls."""
+        p, k = self.p, self.k
+        B, N = points.shape[0], points.shape[1]
+        s1_dim, v1_dim = self.dims["conv1"]
+        reuse = config.graph_reuse
+        assert reuse == "none" or not self.window, \
+            "config.graph_reuse excludes Morton windowing"
+        wins = None
+        out1 = sv_round3_first(
+            points, self.folded_first,
+            S_out=s1_dim, V_out=v1_dim, k=k,
+            mode=self.mode, interpret=self.interpret,
+            window=self.window, emit_wins=reuse == "spatial", cm=True,
+        )
+        s1, v1, s_mean = out1[:3]  # (B, s1_dim, N), (B, 3*v1_dim, N)
+        if reuse == "spatial":
+            wins = out1[3]
+        g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
+        g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
+        v1 = v1 * jnp.tile(g, (1, 3))[:, :, None]
+
+        outs = [(s1, v1)]
+        for name, (S, V, S_out, V_out) in self.rounds.items():
+            s_in, v_in = outs[-1]
+            joint = jnp.concatenate([s_in, v_in], axis=1)  # (B, C, N)
+            emit = reuse == "conv2" and name == "conv2"
+            res = sv_round3(
+                joint, self.folded[name],
+                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                binary=self.binary, mode=self.mode,
+                interpret=self.interpret, window=self.window,
+                wins_in=wins, emit_wins=emit, cm=True,
+            )
+            so, vo, se_mean = res[:3]
+            if emit:
+                wins = res[3]
+            gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
+            gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
+            vo = vo * jnp.tile(gg, (1, 3))[:, :, None]
+            outs.append((so, vo))
+
+        s_c = jnp.swapaxes(jnp.concatenate([o[0] for o in outs], axis=1),
+                           1, 2)  # (B, N, S_c)
+        v_rows = jnp.swapaxes(jnp.concatenate([o[1] for o in outs], axis=1),
+                              1, 2)  # (B, N, 3*V_c) per-round j-major rows
+        vdims = [v1_dim] + [V_out for (_, _, _, V_out) in self.rounds.values()]
+        perm = []
+        for i in range(3):
+            base = 0
+            for Vr in vdims:
+                perm += [base + i * Vr + c for c in range(Vr)]
+                base += 3 * Vr
+        v_c = jnp.take(v_rows, jnp.asarray(perm, jnp.int32), axis=-1)
+        return s_c, v_c.reshape(B, N, 3, self.V_c)
+
     def _forward(self, points: jax.Array, label: jax.Array) -> jax.Array:
         p, bs, k = self.p, self.bs, self.k
         B, N = points.shape[0], points.shape[1]
         binary = self.binary
 
-        s1_dim, v1_dim = self.dims["conv1"]
-        reuse = config.graph_reuse if self.rounds_impl == "round3" else "none"
-        assert reuse == "none" or not self.window, \
-            "config.graph_reuse excludes Morton windowing"
-        wins = None
         if self.rounds_impl == "round3":
-            out1 = sv_round3_first(
-                points, self.folded_first,
-                S_out=s1_dim, V_out=v1_dim, k=k,
-                mode=self.mode, interpret=self.interpret,
-                window=self.window,
-                emit_wins=reuse == "spatial",
-            )
-            s1, v1_flat, s_mean = out1[:3]
-            if reuse == "spatial":
-                wins = out1[3]
-        else:
-            s1, v1_flat, s_mean = sv_round2_first(
-                points, self.folded_first,
-                S_out=s1_dim, V_out=v1_dim, k=k,
-                T=_auto_round_tile(N, self.tile, k, 3, self.mode),
-                mode=self.mode, interpret=self.interpret,
-            )
+            s_c, v_c = self._trunk_round3(points)
+            return self._tail(points, label, s_c, v_c)
+
+        s1_dim, v1_dim = self.dims["conv1"]
+        s1, v1_flat, s_mean = sv_round2_first(
+            points, self.folded_first,
+            S_out=s1_dim, V_out=v1_dim, k=k,
+            T=_auto_round_tile(N, self.tile, k, 3, self.mode),
+            mode=self.mode, interpret=self.interpret,
+        )
         g = jax.nn.relu(s_mean @ p["conv1"]["gate_fc1"]["kernel"])
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
         v1 = v1_flat.reshape(B, N, 3, v1_dim) * g[:, None, None, :]
@@ -527,25 +575,12 @@ class SVDGCNNPsegEngine:
         for name, (S, V, S_out, V_out) in self.rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
-            if self.rounds_impl == "round3":
-                emit = reuse == "conv2" and name == "conv2"
-                res = sv_round3(
-                    joint, self.folded[name],
-                    S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                    binary=binary, mode=self.mode, interpret=self.interpret,
-                    window=self.window,
-                    wins_in=wins, emit_wins=emit,
-                )
-                so, vo, se_mean = res[:3]
-                if emit:
-                    wins = res[3]
-            else:
-                so, vo, se_mean = sv_round2(
-                    joint, self.folded[name],
-                    S=S, V=V, S_out=S_out, V_out=V_out, k=k,
-                    T=_auto_round_tile(N, self.tile, k, S + 3 * V, self.mode),
-                    binary=binary, mode=self.mode, interpret=self.interpret,
-                )
+            so, vo, se_mean = sv_round2(
+                joint, self.folded[name],
+                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                T=_auto_round_tile(N, self.tile, k, S + 3 * V, self.mode),
+                binary=binary, mode=self.mode, interpret=self.interpret,
+            )
             gg = jax.nn.relu(se_mean @ p[name]["gate_fc1"]["kernel"])
             gg = jax.nn.sigmoid(gg @ p[name]["gate_fc2"]["kernel"])
             vo = vo * jnp.tile(gg, (1, 3))[:, None, :]
@@ -553,6 +588,15 @@ class SVDGCNNPsegEngine:
 
         s_c = jnp.concatenate([o[0] for o in outs], axis=-1)  # (B, N, S_c)
         v_c = jnp.concatenate([o[1] for o in outs], axis=-1)  # (B, N, 3, V_c)
+        return self._tail(points, label, s_c, v_c)
+
+    def _tail(self, points: jax.Array, label: jax.Array, s_c: jax.Array,
+              v_c: jax.Array) -> jax.Array:
+        """svfuse1 + conv5/svfuse3 point block + partseg head, shared by
+        the channel-major round3 trunk and the legacy row-major trunk."""
+        p, bs = self.p, self.bs
+        B, N = points.shape[0], points.shape[1]
+        binary = self.binary
 
         # svfuse1 -> per-point fine features (reference channel order)
         x_fine = jnp.concatenate(
