@@ -85,10 +85,12 @@ def _sel_kernel(x_ref, out_ref, *, k: int, N: int, variant: str):
     if variant.startswith("pair"):
         G = int(variant[4:])
         key = _sortable_ikey(neg)
-        rowsT = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
+        # (N, 1) broadcastable rows column, exactly as _select_rows passes
+        # it — a materialized (N, T) rows operand trips a Mosaic
+        # vector-layout crash at N=2048 (extract_strided_slice check)
         st = None
         for j0 in range(0, k, G):
-            tops = _top_group_pair(key, rowsT, G, st)
+            tops = _top_group_pair(key, rows, G, st)
             st = tops[-1]
             for g in range(min(G, k - j0)):
                 out_ref[0, j0 + g, :] = tops[g][1][0]
