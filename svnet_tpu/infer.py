@@ -39,6 +39,7 @@ from svnet_tpu.ops.pallas.sv_point import (
     fold_point_params,
     head_perm,
     sv_point_block,
+    sv_point_block_cm,
 )
 from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
 from svnet_tpu.ops.pallas.sv_round2 import sv_round2, sv_round2_first
@@ -225,8 +226,8 @@ class SVDGCNNClsEngine:
         """Channel-major trunk: activations stay (B, C, N) BETWEEN rounds
         (sv_round3 cm contract), cutting the per-round XLA transpose
         sandwich to the kernel's single row-major distance operand.
-        Returns (s_c (B, N, ΣS), v_c (B, N, 3, ΣV)) — bitwise identical
-        to the row-major plumbing (pure data movement)."""
+        Returns (s_cm (B, ΣS, N), v_cm (B, 3ΣV, N) per-round j-major) —
+        consumed relayout-free by the cm point block in _tail_cm."""
         p, k = self.p, self.k
         B, N = points.shape[0], points.shape[1]
         reuse = config.graph_reuse
@@ -266,28 +267,53 @@ class SVDGCNNClsEngine:
             vo = vo * jnp.tile(gg, (1, 3))[:, :, None]
             outs.append((so, vo))
 
-        s_c = jnp.swapaxes(jnp.concatenate([o[0] for o in outs], axis=1),
-                           1, 2)  # (B, N, 256)
-        v_rows = jnp.swapaxes(jnp.concatenate([o[1] for o in outs], axis=1),
-                              1, 2)  # (B, N, 3*83) per-round i-major rows
-        vdims = [64 // 6, 64 // 6, 128 // 6, 256 // 6]
-        VT = sum(vdims)
-        perm, base = [], 0
-        for i in range(3):
-            base = 0
-            for Vr in vdims:
-                perm += [base + i * Vr + c for c in range(Vr)]
-                base += 3 * Vr
-        v_c = jnp.take(v_rows, jnp.asarray(perm, jnp.int32), axis=-1)
-        return s_c, v_c.reshape(B, N, 3, VT)
+        s_cm = jnp.concatenate([o[0] for o in outs], axis=1)  # (B, 256, N)
+        v_cm = jnp.concatenate([o[1] for o in outs], axis=1)  # (B, 249, N)
+        return s_cm, v_cm
+
+    def _tail_cm(self, s_cm: jax.Array, v_cm: jax.Array) -> jax.Array:
+        """conv5 + SVFuse + head on channel-major activations: the cm
+        point block consumes the trunk's (B, C, N) directly and pooling
+        reduces the lane axis — zero relayouts after the trunk."""
+        p, bs = self.p, self.bs
+        B = s_cm.shape[0]
+        N = s_cm.shape[2]
+
+        gm = jnp.mean(s_cm, axis=2)  # (B, 256)
+        g5 = jax.nn.relu(gm @ p["conv5"]["gate_fc1"]["kernel"])
+        g5 = jax.nn.sigmoid(g5 @ p["conv5"]["gate_fc2"]["kernel"])  # (B, 170)
+
+        src5 = jnp.concatenate([s_cm, v_cm], axis=1)  # (B, 505, N)
+        vdims = (64 // 6, 64 // 6, 128 // 6, 256 // 6)
+        v_off, o = [], 256
+        for Vr in vdims:
+            v_off.append((o, Vr))
+            o += 3 * Vr
+        x, _, _ = sv_point_block_cm(
+            src5, g5, self.folded_point,
+            S=256, V=83, S_out=512, V_out=170, v_off=tuple(v_off),
+            T=min(self.tile * 2, N),
+            binary=self.binary, exact=self.exact, interpret=self.interpret,
+        )  # (B, 1022, N), SVFuse channels j-major
+
+        x = jnp.concatenate([jnp.max(x, axis=2), jnp.mean(x, axis=2)], axis=-1)
+        x = _linear_eval(self.head1, x, self.binary, self.binary)
+        x = jax.nn.leaky_relu(
+            _bn_eval(p["bn1"]["bn"], bs["bn1"]["bn"], x), negative_slope=0.2
+        )
+        x = _linear_eval(p["linear2"], x, self.binary, self.binary)
+        x = jax.nn.leaky_relu(
+            _bn_eval(p["bn2"]["bn"], bs["bn2"]["bn"], x), negative_slope=0.2
+        )
+        return _linear_eval(p["linear3"], x, False, False)
 
     def _forward(self, points: jax.Array) -> jax.Array:
         p, bs, k = self.p, self.bs, self.k
         B, N = points.shape[0], points.shape[1]
 
         if self.rounds_impl == "round3":
-            s_c, v_c = self._trunk_round3(points)
-            return self._tail(points, s_c, v_c)
+            s_cm, v_cm = self._trunk_round3(points)
+            return self._tail_cm(s_cm, v_cm)
 
         # round 1 (always FP): fused first-layer kernel; gate applied here
         # (per-(batch, channel), commutes with the kernel's mean-pool)

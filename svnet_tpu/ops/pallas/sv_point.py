@@ -102,6 +102,163 @@ def _point_kernel(
     )
 
 
+def _point_kernel_cm(
+    src_ref, gate_ref,
+    wzT_ref, w1T_ref, betaT_ref, a1T_ref, b1T_ref,
+    w2T_ref, scale2T_ref, a2T_ref, b2T_ref, wzfT_ref,
+    out_ref, smax_ref, vsum_ref,
+    *, S: int, V: int, S_out: int, V_out: int, T: int, binary: bool,
+    exact: bool, v_off: tuple,
+):
+    """Channel-major twin of _point_kernel: src arrives (C_in, T) with
+    channels along SUBLANES and points along LANES, so the engines'
+    channel-major trunks feed it with ZERO relayouts. ``v_off``: static
+    (row offset, V_r) pairs of the trunk's per-round j-major vector
+    blocks — direction i of round r lives at rows [o + i*V_r, o +
+    (i+1)*V_r); concatenating the per-round direction slices yields the
+    reference c-order, so the SAME folded weights apply (transposed).
+    Math is the row-major kernel's, transposed — bitwise-equal modulo
+    dot-general operand order (parity test: tests/test_tpu_kernels.py).
+    """
+    prec = jax.lax.Precision.HIGHEST if exact else None
+    src = src_ref[0]  # (C_in, T)
+
+    v = [
+        jnp.concatenate(
+            [src[o + i * Vr : o + (i + 1) * Vr, :] for (o, Vr) in v_off],
+            axis=0,
+        )
+        for i in range(3)
+    ]  # (V, T) x3, c in reference order
+
+    # conv5's Vector2Scalar on the input vectors
+    wzT = wzT_ref[:]  # (3, V)
+    z = [
+        jnp.dot(wzT, v[i], preferred_element_type=jnp.float32, precision=prec)
+        for i in range(3)
+    ]  # (3, T)
+    sv = []
+    for j in range(3):
+        acc = v[0] * z[0][j : j + 1, :]
+        acc = acc + v[1] * z[1][j : j + 1, :]
+        acc = acc + v[2] * z[2][j : j + 1, :]
+        sv.append(acc)  # (V, T)
+
+    x_cat = jnp.concatenate([src[:S, :]] + sv, axis=0)  # (S + 3V, T) j-major
+    if binary:
+        xq = jnp.sign(x_cat + betaT_ref[:])
+        h = jnp.dot(
+            w1T_ref[:].astype(jnp.bfloat16),
+            xq.astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
+        )
+    else:
+        h = jnp.dot(
+            w1T_ref[:], x_cat, preferred_element_type=jnp.float32, precision=prec
+        )
+    s5 = h * a1T_ref[:] + b1T_ref[:]
+    s5 = jnp.where(s5 >= 0, s5, 0.2 * s5)  # (S_out, T)
+
+    # conv5 vector path
+    w2T = w2T_ref[:]  # (V_out, V)
+    wlin = [
+        jnp.dot(w2T, v[i], preferred_element_type=jnp.float32, precision=prec)
+        * scale2T_ref[:]
+        for i in range(3)
+    ]  # (V_out, T)
+    nsq = wlin[0] * wlin[0] + wlin[1] * wlin[1] + wlin[2] * wlin[2]
+    nrm = jnp.sqrt(nsq) + EPS
+    f = (a2T_ref[:] + b2T_ref[:] / nrm) * gate_ref[0]
+    v5 = [wlin[i] * f for i in range(3)]  # (V_out, T)
+
+    # SVFuse: invariants of v5 through its own (binarizable) frame
+    wzfT = wzfT_ref[:]  # (3, V_out)
+    zf = [
+        jnp.dot(wzfT, v5[i], preferred_element_type=jnp.float32, precision=prec)
+        for i in range(3)
+    ]
+    svf = []
+    for j in range(3):
+        acc = v5[0] * zf[0][j : j + 1, :]
+        acc = acc + v5[1] * zf[1][j : j + 1, :]
+        acc = acc + v5[2] * zf[2][j : j + 1, :]
+        svf.append(acc)  # (V_out, T)
+
+    out_ref[0] = jnp.concatenate([s5] + svf, axis=0)  # (S_out + 3*V_out, T)
+    smax_ref[0, 0] = jnp.max(s5, axis=1, keepdims=True)
+    vsum_ref[0, 0] = jnp.concatenate(
+        [jnp.sum(v5[i], axis=1, keepdims=True) for i in range(3)], axis=0
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("S", "V", "S_out", "V_out", "T", "binary", "exact",
+                     "interpret", "v_off"),
+)
+def sv_point_block_cm(
+    src: jax.Array,   # (B, S + 3V, N) channel-major: [s rows | per-round j-major v rows]
+    gate: jax.Array,  # (B, V_out)
+    folded: Dict[str, jax.Array],
+    *, S: int, V: int, S_out: int, V_out: int, v_off: tuple, T: int = 128,
+    binary: bool = True, exact: bool = True, interpret: bool = False,
+):
+    """Channel-major sv_point_block: consumes the round3 cm trunk's
+    (B, C, N) activations directly and returns x (B, S_out + 3*V_out, N)
+    (same channel order as the row-major x's last axis, SVFuse j-major),
+    plus s5_max (B, S_out) / v5_mean (B, 3*V_out) — zero XLA relayouts
+    end-to-end. ``v_off``: per-round (row offset, V_r) of the trunk's
+    vector blocks within ``src``."""
+    B, Cin, N = src.shape
+    assert Cin == S + 3 * V
+    assert N % T == 0
+    const = lambda b, t: (0, 0)
+    x, smax, vsum = pl.pallas_call(
+        functools.partial(
+            _point_kernel_cm,
+            S=S, V=V, S_out=S_out, V_out=V_out, T=T, binary=binary,
+            exact=exact, v_off=v_off,
+        ),
+        grid=(B, N // T),
+        in_specs=[
+            pl.BlockSpec((1, Cin, T), lambda b, t: (b, 0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, V_out, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, V), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, S + 3 * V), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S + 3 * V, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((S_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, V), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((V_out, 1), const, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, V_out), const, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, S_out + 3 * V_out, T), lambda b, t: (b, 0, t),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, S_out, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, 3 * V_out, 1), lambda b, t: (b, t, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_out + 3 * V_out, N), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, S_out, 1), jnp.float32),
+            jax.ShapeDtypeStruct((B, N // T, 3 * V_out, 1), jnp.float32),
+        ),
+        interpret=interpret,
+    )(
+        src, gate.reshape(B, V_out, 1),
+        folded["wz"].T, folded["w1"].T, folded["beta"].T, folded["a1"].T,
+        folded["b1"].T, folded["w2"].T, folded["scale2"].T, folded["a2"].T,
+        folded["b2"].T, folded["wzf"].T,
+    )
+    s5_max = jnp.max(smax[:, :, :, 0], axis=1)  # (B, S_out)
+    v5_mean = jnp.sum(vsum[:, :, :, 0], axis=1) / N  # (B, 3*V_out)
+    return x, s5_max, v5_mean
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "T", "binary", "exact", "interpret"),
