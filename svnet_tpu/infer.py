@@ -112,6 +112,65 @@ def _v2s_eval(p: dict, v: jax.Array, bw: bool) -> jax.Array:
     return s.reshape(s.shape[:-2] + (-1,))
 
 
+def _linear_eval_cm(p: dict, x: jax.Array, bw: bool, ba: bool) -> jax.Array:
+    """Channel-major twin of _linear_eval: x (B, C, N), contraction over
+    the channel axis, per-channel affines broadcast along lanes. The
+    binary×binary case rides the same int8 MXU path."""
+    kernel = p["kernel"]  # (C, O)
+    if not bw and not ba:
+        y = jnp.einsum("co,bcn->bon", kernel, x)
+        if "bias" in p:
+            y = y + p["bias"][:, None]
+        return y
+    if ba:
+        x = jnp.sign(x + p["beta"][:, None])
+    w = jnp.sign(kernel) if bw else kernel
+    if bw and ba and config.binary_matmul == "int8":
+        y = jnp.einsum(
+            "co,bcn->bon", w.astype(jnp.int8), x.astype(jnp.int8),
+            preferred_element_type=jnp.int32,
+        ).astype(x.dtype)
+    else:
+        y = jnp.einsum("co,bcn->bon", w, x)
+    y = y * p["scale"][:, None]
+    if "bias" in p:
+        y = y + p["bias"][:, None]
+    return y
+
+
+def _bn_eval_cm(p: dict, st: dict, x: jax.Array) -> jax.Array:
+    inv = p["scale"] / jnp.sqrt(st["var"] + BN_EPS)
+    return x * inv[:, None] + (p["bias"] - st["mean"] * inv)[:, None]
+
+
+def _v2s_eval_cm(p: dict, v_cm: jax.Array, v_off, bw: bool) -> jax.Array:
+    """Channel-major Vector2Scalar over a per-round j-major (B, 3ΣV, N)
+    block stack: returns (B, 3ΣV, N) invariants in j-OUTER order
+    (j*V_c + c, c in reference round-concatenated order) — consumers fold
+    the (c*3+j)->(j*V_c+c) reorder into their weight rows."""
+    kernel = p["linear"]["kernel"]  # (V_c, 3)
+    w = jnp.sign(kernel) if bw else kernel
+    v = [
+        jnp.concatenate(
+            [v_cm[:, o + i * Vr : o + (i + 1) * Vr, :] for (o, Vr) in v_off],
+            axis=1,
+        )
+        for i in range(3)
+    ]  # (B, V_c, N) x3, c in reference order
+    z = [jnp.einsum("cj,bcn->bjn", w, v[i]) for i in range(3)]  # (B, 3, N)
+    if bw:
+        sc = p["linear"]["scale"]
+        z = [zi * sc[:, None] for zi in z]
+    return jnp.concatenate(
+        [
+            v[0] * z[0][:, j : j + 1] + v[1] * z[1][:, j : j + 1]
+            + v[2] * z[2][:, j : j + 1]
+            for j in range(3)
+        ],
+        axis=1,
+    )
+
+
 def _vector_bn_eval(p: dict, st: dict, v: jax.Array) -> jax.Array:
     n = jnp.sqrt(jnp.sum(v * v, axis=-2)) + EPS
     nbn = _bn_eval(p["bn"], st["bn"], n)
@@ -515,6 +574,25 @@ class SVDGCNNPsegEngine:
         self.fuse3_perm = jnp.asarray(
             list(range(self.S5)) + [self.S5 + i for i in inv], dtype=jnp.int32
         )
+        # cm tail: fold the j-major/j-outer emitted layouts of x_max and
+        # x_fine's v2s block into conv8's rows (x_pool/label stay c-major)
+        S6 = self.p["conv6"]["linear1"]["kernel"].shape[1]
+        V6 = self.p["conv6"]["linear2"]["kernel"].shape[1]
+        Wl = self.p["conv7"]["kernel"].shape[1]
+        jmaj = lambda S, V, off: (
+            [off + i for i in range(S)]
+            + [off + S + c * 3 + j for j in range(3) for c in range(V)]
+        )
+        rows = jmaj(self.S5, self.V5, 0)
+        off = self.S5 + 3 * self.V5
+        rows += [off + i for i in range(S6 + 3 * V6 + Wl)]
+        off += S6 + 3 * V6 + Wl
+        rows += jmaj(self.S_c, self.V_c, off)
+        h8 = dict(self.p["conv8"]["conv"])
+        h8["kernel"] = h8["kernel"][jnp.asarray(rows, jnp.int32), :]
+        if "beta" in h8:
+            h8["beta"] = h8["beta"][jnp.asarray(rows, jnp.int32)]
+        self.head8 = h8
         self._jit_forward = jax.jit(self._forward)
 
     def _trunk_round3(self, points: jax.Array):
@@ -563,19 +641,74 @@ class SVDGCNNPsegEngine:
             vo = vo * jnp.tile(gg, (1, 3))[:, :, None]
             outs.append((so, vo))
 
-        s_c = jnp.swapaxes(jnp.concatenate([o[0] for o in outs], axis=1),
-                           1, 2)  # (B, N, S_c)
-        v_rows = jnp.swapaxes(jnp.concatenate([o[1] for o in outs], axis=1),
-                              1, 2)  # (B, N, 3*V_c) per-round j-major rows
-        vdims = [v1_dim] + [V_out for (_, _, _, V_out) in self.rounds.values()]
-        perm = []
-        for i in range(3):
-            base = 0
-            for Vr in vdims:
-                perm += [base + i * Vr + c for c in range(Vr)]
-                base += 3 * Vr
-        v_c = jnp.take(v_rows, jnp.asarray(perm, jnp.int32), axis=-1)
-        return s_c, v_c.reshape(B, N, 3, self.V_c)
+        s_cm = jnp.concatenate([o[0] for o in outs], axis=1)  # (B, S_c, N)
+        v_cm = jnp.concatenate([o[1] for o in outs], axis=1)  # (B, 3V_c, N)
+        return s_cm, v_cm
+
+    def _tail_cm(self, label: jax.Array, s_cm: jax.Array,
+                 v_cm: jax.Array) -> jax.Array:
+        """Channel-major partseg tail: svfuse1, the cm point block, and
+        the pointwise head all consume (B, C, N) directly — the emitted
+        j-major/j-outer vector layouts are folded into conv8's rows
+        (self.head8), so the whole forward runs relayout-free until the
+        final (B, 50, N) -> (B, N, 50) output swap."""
+        p, bs = self.p, self.bs
+        B, N = s_cm.shape[0], s_cm.shape[2]
+        binary = self.binary
+        vdims = [V for (_, V) in self.dims.values()]
+        v_off0, o = [], 0
+        for Vr in vdims:
+            v_off0.append((o, Vr))
+            o += 3 * Vr
+
+        # svfuse1 -> per-point fine features (j-outer vector block)
+        x_fine = jnp.concatenate(
+            [s_cm, _v2s_eval_cm(p["svfuse1"]["v2s"], v_cm, v_off0, binary)],
+            axis=1,
+        )  # (B, S_c + 3V_c, N)
+
+        # conv5 + svfuse3 fused per point
+        gm = jnp.mean(s_cm, axis=2)
+        g5 = jax.nn.relu(gm @ p["conv5"]["gate_fc1"]["kernel"])
+        g5 = jax.nn.sigmoid(g5 @ p["conv5"]["gate_fc2"]["kernel"])
+        src5 = jnp.concatenate([s_cm, v_cm], axis=1)
+        v_off5 = tuple((self.S_c + o, Vr) for (o, Vr) in v_off0)
+        x, s5_max, v5_mean = sv_point_block_cm(
+            src5, g5, self.folded_point,
+            S=self.S_c, V=self.V_c, S_out=self.S5, V_out=self.V5,
+            v_off=v_off5, T=min(self.tile * 2, N),
+            binary=binary, exact=self.exact, interpret=self.interpret,
+        )  # (B, S5 + 3*V5, N), SVFuse channels j-major
+
+        # pooled token path (B, 1, ·): conv6 SVBlock + svfuse2 in XLA — tiny
+        sp = s5_max[:, None, :]
+        vp = v5_mean.reshape(B, 1, 3, self.V5)
+        sp, vp = _svblock_eval(p["conv6"], bs["conv6"], sp, vp, binary)
+        x_pool = jnp.concatenate(
+            [sp, _v2s_eval(p["svfuse2"]["v2s"], vp, binary)], axis=-1
+        )  # (B, 1, ·) reference c-major
+
+        x_max = jnp.max(x, axis=2)[:, :, None]  # (B, S5 + 3*V5, 1)
+
+        l = _linear_eval(p["conv7"], label, False, False)
+        l = _bn_eval(p["bn7"]["bn"], bs["bn7"]["bn"], l)
+        l = jax.nn.leaky_relu(l, negative_slope=0.2)[:, :, None]
+
+        gcat = jnp.concatenate(
+            [x_max, jnp.swapaxes(x_pool, 1, 2), l], axis=1
+        )  # (B, Wg, 1)
+        gcat = jnp.broadcast_to(gcat, (B, gcat.shape[1], N))
+        net = jnp.concatenate([gcat, x_fine], axis=1)
+
+        net = _linear_eval_cm(self.head8, net, binary, binary)
+        net = _bn_eval_cm(p["conv8"]["bn"], bs["conv8"]["bn"], net)
+        net = jax.nn.leaky_relu(net, negative_slope=0.2)
+        for name in ("conv9", "conv10"):
+            net = _linear_eval_cm(p[name]["conv"], net, binary, binary)
+            net = _bn_eval_cm(p[name]["bn"], bs[name]["bn"], net)
+            net = jax.nn.leaky_relu(net, negative_slope=0.2)
+        out = _linear_eval_cm(p["conv11"], net, False, False)
+        return jnp.swapaxes(out, 1, 2)
 
     def _forward(self, points: jax.Array, label: jax.Array) -> jax.Array:
         p, bs, k = self.p, self.bs, self.k
@@ -583,8 +716,8 @@ class SVDGCNNPsegEngine:
         binary = self.binary
 
         if self.rounds_impl == "round3":
-            s_c, v_c = self._trunk_round3(points)
-            return self._tail(points, label, s_c, v_c)
+            s_cm, v_cm = self._trunk_round3(points)
+            return self._tail_cm(label, s_cm, v_cm)
 
         s1_dim, v1_dim = self.dims["conv1"]
         s1, v1_flat, s_mean = sv_round2_first(

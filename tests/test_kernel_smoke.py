@@ -116,3 +116,63 @@ def test_engine_graph_reuse_smoke():
     finally:
         config.set_graph_reuse("none")
     np.testing.assert_array_equal(np.asarray(eng(points)), base)
+
+
+def test_point_block_cm_matches_row_major():
+    """sv_point_block_cm(src.T) == sv_point_block(src) with the v_off
+    round blocks re-laid out j-major — the cm engine tails ride this."""
+    from svnet_tpu.ops.pallas.sv_point import (
+        fold_point_params,
+        sv_point_block,
+        sv_point_block_cm,
+    )
+
+    S, vdims = 24, (4, 6)
+    V = sum(vdims)
+    S_out, V_out = 16, 8
+    key = jax.random.PRNGKey(7)
+
+    def rand(*shape):
+        nonlocal key
+        key, k2 = jax.random.split(key)
+        return jax.random.normal(k2, shape)
+
+    folded = {
+        "wz": rand(V, 3), "w1": rand(S + 3 * V, S_out),
+        "beta": rand(1, S + 3 * V), "a1": rand(1, S_out),
+        "b1": rand(1, S_out), "w2": rand(V, V_out),
+        "scale2": rand(1, V_out), "a2": rand(1, V_out),
+        "b2": rand(1, V_out), "wzf": rand(V_out, 3),
+    }
+    gate = jax.nn.sigmoid(rand(B, V_out))
+    # row-major src: [s | v i-major over the FULL V (c in round order)]
+    src = rand(B, N, S + 3 * V)
+    want_x, want_smax, want_vmean = sv_point_block(
+        src, gate, folded, S=S, V=V, S_out=S_out, V_out=V_out, T=N,
+        binary=False, exact=True, interpret=True,
+    )
+    # cm src: [s rows | per-round j-major v blocks]
+    s_rows = src[:, :, :S]
+    v = src[:, :, S:].reshape(B, N, 3, V)
+    blocks, off, v_off = [], 0, []
+    for Vr in vdims:
+        blocks.append(v[:, :, :, off : off + Vr].reshape(B, N, 3 * Vr))
+        v_off.append((S + 3 * off, Vr))
+        off += Vr
+    src_cm = jnp.swapaxes(
+        jnp.concatenate([s_rows] + blocks, axis=-1), 1, 2
+    )
+    got_x, got_smax, got_vmean = sv_point_block_cm(
+        src_cm, gate, folded, S=S, V=V, S_out=S_out, V_out=V_out,
+        v_off=tuple(v_off), T=N, binary=False, exact=True, interpret=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(jnp.swapaxes(got_x, 1, 2)), np.asarray(want_x),
+        rtol=1e-5, atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_smax), np.asarray(want_smax), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(got_vmean), np.asarray(want_vmean), rtol=1e-5, atol=1e-5
+    )
