@@ -777,40 +777,59 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
     """
     B, N, C = src.shape
     nt, nb = N // T, N // BS
-    # banded tau: kth-best distance among the 128 ROW-neighbours (sorted
-    # order ~ spatial neighbours; Morton-jump points still get one good
-    # side). Rolls wrap at the ends — wrapped candidates are merely extra
-    # members of the candidate set, so tau stays a valid upper bound.
+    xb = src.reshape(B, nb, BS, C)
+    # banded tau: kth-best distance among each block's own + adjacent
+    # blocks (384 row-neighbour candidates ⊇ the r3.0 ±64 band, so tau is
+    # at least as tight), via ONE batched MXU matmul — the r3.0 rolled
+    # direct-diff version cost ~17 ms/cloud at N=16k (128 full (B, N, C)
+    # passes) and single-handedly made windowing an end-to-end LOSS; the
+    # blocked matmul form is ~100x cheaper. Wrapped blocks at the ends are
+    # merely extra candidate members, so tau stays a valid upper bound.
     # Tile-local tau (the r3 first cut) collapses on jump tiles whose own
     # points are spatially scattered.
-    band = 128
-    d2s = []
-    for s in range(-band // 2, band // 2):
-        diff = src - jnp.roll(src, s, axis=1)
-        d2s.append(jnp.sum(diff * diff, axis=-1))
-    d2 = jnp.stack(d2s, axis=-1)  # (B, N, band)
-    tau = -jax.lax.top_k(-d2, k)[0][..., k - 1]  # kth smallest dist^2
-    # float-safety margin: tau/lb2 use the direct (x-y)^2 form, but the
-    # kernel RANKS by the cancellation-prone 2<x,y> - |x|^2 - |y|^2 form,
-    # whose absolute error is O(eps_f32 * |x|^2). Inflate tau by a bound
-    # on that error (~40 ulps of the largest squared norm) so a pruned
-    # block can never hold a row the kernel's own ordering would select —
-    # keeping the certificate exact under BOTH distance forms. The
-    # inflation is ~1e-5 of the cloud's scale^2: pruning loss is nil.
+    nbhd = jnp.concatenate(
+        [jnp.roll(xb, 1, axis=1), xb, jnp.roll(xb, -1, axis=1)], axis=2
+    )  # (B, nb, 3*BS, C)
+    xy = jnp.einsum(
+        "bnic,bnjc->bnij", xb, nbhd, preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    d2 = (
+        jnp.sum(xb * xb, -1)[..., None]
+        + jnp.sum(nbhd * nbhd, -1)[:, :, None, :]
+        - 2.0 * xy
+    )  # (B, nb, BS, 3*BS)
+    tau = -jax.lax.top_k(-d2.reshape(B, N, 3 * BS), k)[0][..., k - 1]
+    # float-safety margin: lb2 below uses the direct (x-y)^2 form, but
+    # tau above AND the kernel's ranking use the cancellation-prone
+    # 2<x,y> - |x|^2 - |y|^2 form, whose absolute error is
+    # O(eps_f32 * |x|^2). Inflate tau by a bound on BOTH errors (~80 ulps
+    # of the largest squared norm) so a pruned block can never hold a row
+    # the kernel's own ordering would select — keeping the certificate
+    # exact under all distance forms. The inflation is ~2e-5 of the
+    # cloud's scale^2: pruning loss is nil.
     mx = jnp.max(jnp.sum(src * src, axis=-1), axis=1)  # (B,)
-    tau = tau + (1e-5 * mx + 1e-30)[:, None]
+    tau = tau + (2e-5 * mx + 1e-30)[:, None]
 
-    xb = src.reshape(B, nb, BS, C)
     lo = jnp.min(xb, axis=2)  # (B, nb, C)
     hi = jnp.max(xb, axis=2)
-    d = jnp.maximum(
-        jnp.maximum(lo[:, None] - src[:, :, None], src[:, :, None] - hi[:, None]),
-        0.0,
-    )  # (B, N, nb, C)
-    lb2 = jnp.sum(d * d, axis=-1)  # (B, N, nb)
-    prune_pt = lb2 > tau[:, :, None]  # strict: ties keep the block
-    prune_tile = jnp.all(prune_pt.reshape(B, nt, T, nb), axis=2)  # (B,nt,nb)
-    keep = (~prune_tile).astype(jnp.int32)
+
+    # per-block bbox lower bounds, one (B, N) slab at a time — the r3.0
+    # version materialized (B, N, nb, C) (gigabytes at N=16k), HBM-bound
+    def body(i, keep):
+        d = jnp.maximum(
+            jnp.maximum(lo[:, i][:, None] - src, src - hi[:, i][:, None]),
+            0.0,
+        )  # (B, N, C), direct form — no cancellation
+        lb2 = jnp.sum(d * d, axis=-1)  # (B, N)
+        prune_pt = (lb2 > tau).reshape(B, nt, T)  # strict: ties keep
+        col = 1 - jnp.all(prune_pt, axis=2).astype(jnp.int32)  # (B, nt)
+        return jax.lax.dynamic_update_slice(
+            keep, col[:, :, None], (0, 0, i)
+        )
+    keep = jax.lax.fori_loop(
+        0, nb, body, jnp.zeros((B, nt, nb), jnp.int32)
+    )
     ok = jnp.all(jnp.sum(keep, axis=-1) * BS <= W)
     return keep, ok
 
