@@ -598,9 +598,10 @@ class SVDGCNNPsegEngine:
     def _trunk_round3(self, points: jax.Array):
         """Channel-major trunk (see SVDGCNNClsEngine._trunk_round3):
         activations stay (B, C, N) between rounds, one relayout per round
-        instead of three. Returns (s_c (B, N, S_c), v_c (B, N, 3, V_c)),
-        bitwise identical to the row-major plumbing. At partseg shapes
-        (N=2048) the relayouts this removes are 16x bigger than cls."""
+        instead of three. Returns (s_cm (B, S_c, N), v_cm (B, 3V_c, N)
+        per-round j-major) for the relayout-free _tail_cm. At partseg
+        shapes (N=2048) the relayouts this removes are 16x bigger than
+        cls."""
         p, k = self.p, self.k
         B, N = points.shape[0], points.shape[1]
         s1_dim, v1_dim = self.dims["conv1"]

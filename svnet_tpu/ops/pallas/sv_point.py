@@ -212,6 +212,14 @@ def sv_point_block_cm(
     B, Cin, N = src.shape
     assert Cin == S + 3 * V
     assert N % T == 0
+    # v_off contract: round blocks tile [S, S + 3V) exactly, in order —
+    # a mis-based offset (e.g. forgetting the scalar-row base) would read
+    # scalar rows as vector components with no shape error to catch it
+    o = S
+    for (off, Vr) in v_off:
+        assert off == o, (v_off, "blocks must tile [S, S+3V) in order")
+        o += 3 * Vr
+    assert o == S + 3 * V, (v_off, V)
     const = lambda b, t: (0, 0)
     x, smax, vsum = pl.pallas_call(
         functools.partial(

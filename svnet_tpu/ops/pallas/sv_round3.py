@@ -116,6 +116,17 @@ def pack_planes_fast_t(xT: jax.Array):
     return planes, (1.0 / scale).reshape(C, 1)
 
 
+
+def _gb8(mode: str) -> bool:
+    """True when ``mode`` gathers through ONE int8 plane (the trace-time
+    config knobs). The SINGLE source of truth — _round3_tiles' VMEM
+    budget (nplanes) and the kernels' plane packing must always agree,
+    or tiles get sized for a different plane count than gets packed."""
+    return (mode == "approx" and config.approx_gather_bits == 8) or (
+        mode == "fast" and config.fast_gather_bits == 8
+    )
+
+
 def pack_planes_q8_t(xT: jax.Array):
     """f32 (B, C, N) -> (int8 (B, stride, N) plane, f32 (C, 1) inv).
 
@@ -716,8 +727,7 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     tiles grow toward the 512 cap.
     """
     budget = 11 * 1024 * 1024
-    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
-        mode == "fast" and config.fast_gather_bits == 8)
+    gb8 = _gb8(mode)
     nplanes = 4 if mode == "exact" else (1 if gb8 else 2)
     fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
     per_t = N * 2 if reuse else N * 4 * (5 if mode == "exact" else 4)
@@ -892,13 +902,17 @@ def sv_round3(
     assert mode == "exact" or N <= (1 << 20)
     exact = mode == "exact"
 
+    reuse = wins_in is not None
     if cm:
         srcT = src  # already (B, C, N); ONE transpose for the kernel's
-        src = jnp.swapaxes(srcT, 1, 2)  # row-major distance operand
+        # row-major distance operand — statically dead under graph reuse
+        # (take_wins skips phase 1), so skip the relayout AND its DMA then
+        src = None if reuse else jnp.swapaxes(srcT, 1, 2)
     else:
         srcT = jnp.swapaxes(src, 1, 2)  # (B, C, N)
-    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
-        mode == "fast" and config.fast_gather_bits == 8)
+        if reuse:
+            src = None
+    gb8 = _gb8(mode)
     if exact:
         planesT = pack_planes_exact_t(srcT)
         invT = jnp.ones((C, 1), jnp.float32)
@@ -909,7 +923,21 @@ def sv_round3(
     else:
         planesT, invT = pack_planes_fast_t(srcT)
         PC = 2 * _plane_stride_t(C)
-    aa = jnp.sum(src * src, axis=2, keepdims=True)  # (B, N, 1)
+    if reuse:  # src_ref/aa_ref are never read in the take_wins branch —
+        # pass (1, 1, 1) dummies so no (B, N, C) operand is built or DMA'd
+        src = jnp.zeros((B, 1, 1), jnp.float32)
+        aa = jnp.zeros((B, 1, 1), jnp.float32)
+        src_spec = aa_spec = pl.BlockSpec(
+            (1, 1, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        aa = jnp.sum(src * src, axis=2, keepdims=True)  # (B, N, 1)
+        src_spec = pl.BlockSpec(
+            (1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+        )
+        aa_spec = pl.BlockSpec(
+            (1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM
+        )
 
     # kernel-friendly param orientations (tiny, folded once per call)
     twoV = 2 * V
@@ -938,11 +966,11 @@ def sv_round3(
                 pltpu.SMEM((1,), jnp.int32),
             ]
         in_specs = [
-            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            src_spec,
             pl.BlockSpec((1, C, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, PC, N), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, 1), const, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, 1), lambda b, t: (b, 0, 0), memory_space=pltpu.VMEM),
+            aa_spec,
             pl.BlockSpec((1, nt, keep.shape[2]), lambda b, t: (b, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((twoV, 3), const, memory_space=pltpu.VMEM),
@@ -1247,8 +1275,7 @@ def sv_round3_first(
     exact = mode == "exact"
 
     ptsT = jnp.swapaxes(points, 1, 2)  # (B, 3, N)
-    gb8 = (mode == "approx" and config.approx_gather_bits == 8) or (
-        mode == "fast" and config.fast_gather_bits == 8)
+    gb8 = _gb8(mode)
     if exact:
         planesT = pack_planes_exact_t(ptsT)
         invT = jnp.ones((3, 1), jnp.float32)
