@@ -116,7 +116,17 @@ def main():
              "(config.set_graph_reuse; skips key build + selection in the "
              "reusing rounds — validate accuracy on a trained checkpoint)",
     )
+    ap.add_argument(
+        "--reuse-gather-window", type=int, default=None,
+        help="gather-compaction width for graph-reuse rounds "
+             "(config.set_reuse_gather_window; bitwise-identical output, "
+             "engine Morton-sorts internally; needs --graph-reuse)",
+    )
     args = ap.parse_args()
+    if args.reuse_gather_window is not None:
+        from svnet_tpu import config
+
+        config.set_reuse_gather_window(args.reuse_gather_window)
     if args.graph_reuse:
         from svnet_tpu import config
 
@@ -267,12 +277,18 @@ def main():
         and not args.fast_gather_bits and not args.exact_selection
         and args.rounds_impl == "round3" and not args.window
         and not args.surface and args.block_matmul in (None, "bf16")
+        and args.reuse_gather_window is None
     ):
         from svnet_tpu import config as _cfg
 
         try:
             _cfg.set_graph_reuse("spatial")
             _cfg.set_approx_gather_bits(8)
+            if args.num_points >= 4096:
+                # winner-block compaction certifies ~0.53N/0.30N at
+                # N=4096/8192 (PERF.md r3.3); at bench shapes it cannot,
+                # and would only pay the keep prepass
+                _cfg.set_reuse_gather_window(args.num_points // 2)
             if args.task == "partseg":
                 _cfg.set_approx_fold(512)
             v, ek = measure("approx")
@@ -283,6 +299,7 @@ def main():
         finally:
             _cfg.set_graph_reuse("none")
             _cfg.set_approx_gather_bits(16)
+            _cfg.set_reuse_gather_window(0)
             _cfg.set_approx_fold(256)
 
     head_mode = modes[0]
@@ -307,6 +324,8 @@ def main():
         out["value_serving"] = serving
         out["serving_config"] = (
             "approx + 8-bit gathers + spatial graph reuse"
+            + (f" + gather window {args.num_points // 2} (Morton)"
+               if args.num_points >= 4096 else "")
             + (" + fold 512" if args.task == "partseg" else "")
         )
     # non-default serving knobs self-describe the measurement
@@ -320,6 +339,8 @@ def main():
         out["approx_gather_bits"] = args.approx_gather_bits
     if args.fast_gather_bits and args.fast_gather_bits != 16:
         out["fast_gather_bits"] = args.fast_gather_bits
+    if args.reuse_gather_window:
+        out["reuse_gather_window"] = args.reuse_gather_window
     print(json.dumps(out))
 
 

@@ -177,6 +177,48 @@ def set_graph_reuse(name: str) -> None:
     _invalidate()
 
 
+morton_entry: bool = False  # engines Morton-sort the cloud at entry
+
+
+def set_morton_entry(on: bool) -> None:
+    """Serving knob (trace-time; round3 engines): Morton-sort the input
+    cloud at engine entry. Exact — cls pooling is permutation-invariant
+    and the partseg engine un-permutes its per-point logits. Two effects:
+    (1) approx-mode fold collisions become rare (the fold pairs distant
+    halves; PERF.md recall table: k=40 fold-256 recall 0.992 sorted vs
+    0.933 shuffled), letting serving run narrower folds; (2) the
+    data-dependent exact levers (``window``, config.reuse_gather_window)
+    get the spatial block locality they need regardless of caller point
+    order. Costs one argsort + two takes per forward."""
+    global morton_entry
+    morton_entry = bool(on)
+    _invalidate()
+
+
+reuse_gather_window: int = 0  # 0 = off; compacted gather width (rows)
+
+
+def set_reuse_gather_window(width: int) -> None:
+    """Graph-reuse rounds' gather compaction width W (trace-time; round3
+    engines only, composes with config.graph_reuse != 'none').
+
+    A reuse round's neighbour ids are known BEFORE the kernel runs, so XLA
+    computes which 128-row source blocks contain any of a tile's winners
+    and the kernel gathers from a W-row compaction of just those blocks —
+    cutting the one-hot gather's k*N*W MAC cost by N/W. Results are
+    BITWISE identical to the full-width gather (excluded blocks contribute
+    exact zeros to the int32 one-hot matmul); only latency is data-
+    dependent: a lax.cond falls back to the full scan whenever any tile's
+    winner blocks exceed W rows. On Morton-sorted surface clouds a tile's
+    spatial neighbours are block-local (W = N/2 certifies at partseg
+    shapes); on shuffled inputs the fallback fires and nothing is lost
+    but the prepass. W must be a multiple of 128; 0 disables."""
+    global reuse_gather_window
+    assert width == 0 or (width >= 128 and width % 128 == 0), width
+    reuse_gather_window = width
+    _invalidate()
+
+
 exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
 
 

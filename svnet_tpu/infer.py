@@ -43,10 +43,34 @@ from svnet_tpu.ops.pallas.sv_point import (
 )
 from svnet_tpu.ops.pallas.sv_round import sv_round, sv_round_first
 from svnet_tpu.ops.pallas.sv_round2 import sv_round2, sv_round2_first
-from svnet_tpu.ops.pallas.sv_round3 import sv_round3, sv_round3_first
+from svnet_tpu.ops.pallas.sv_round3 import (
+    morton_order,
+    sv_round3,
+    sv_round3_first,
+)
 
 EPS = 1e-6
 BN_EPS = 1e-5
+
+
+def _maybe_morton(points: jax.Array):
+    """Morton-sort the cloud when gather compaction is on.
+
+    config.reuse_gather_window's winner-block locality must come from the
+    cloud's GEOMETRY, not from the caller's point order: sorting at engine
+    entry makes the compaction certify on any input layout. Sorting is
+    exact — cls pooling is permutation-invariant and the partseg engine
+    un-permutes its per-point logits with the returned order (see
+    PERF.md approx-recall table for the side benefit: approx-mode fold
+    collisions are rarer on sorted clouds). Returns (points, order|None).
+    """
+    if not (
+        config.morton_entry
+        or (config.reuse_gather_window and config.graph_reuse != "none")
+    ):
+        return points, None
+    order = morton_order(points)
+    return jnp.take_along_axis(points, order[:, :, None], axis=1), order
 
 
 def _auto_round_tile(
@@ -317,6 +341,8 @@ class SVDGCNNClsEngine:
                 binary=self.binary, mode=self.mode,
                 interpret=self.interpret, window=self.window,
                 wins_in=wins, emit_wins=emit, cm=True,
+                gather_window=(config.reuse_gather_window
+                               if wins is not None else 0),
             )
             so, vo, se_mean = res[:3]
             if emit:
@@ -371,6 +397,7 @@ class SVDGCNNClsEngine:
         B, N = points.shape[0], points.shape[1]
 
         if self.rounds_impl == "round3":
+            points, _ = _maybe_morton(points)  # cls logits are perm-invariant
             s_cm, v_cm = self._trunk_round3(points)
             return self._tail_cm(s_cm, v_cm)
 
@@ -633,6 +660,8 @@ class SVDGCNNPsegEngine:
                 binary=self.binary, mode=self.mode,
                 interpret=self.interpret, window=self.window,
                 wins_in=wins, emit_wins=emit, cm=True,
+                gather_window=(config.reuse_gather_window
+                               if wins is not None else 0),
             )
             so, vo, se_mean = res[:3]
             if emit:
@@ -717,8 +746,13 @@ class SVDGCNNPsegEngine:
         binary = self.binary
 
         if self.rounds_impl == "round3":
+            points, order = _maybe_morton(points)
             s_cm, v_cm = self._trunk_round3(points)
-            return self._tail_cm(label, s_cm, v_cm)
+            out = self._tail_cm(label, s_cm, v_cm)  # (B, N, 50)
+            if order is not None:  # undo the sort on the per-point logits
+                inv = jnp.argsort(order, axis=1)
+                out = jnp.take_along_axis(out, inv[:, :, None], axis=1)
+            return out
 
         s1_dim, v1_dim = self.dims["conv1"]
         s1, v1_flat, s_mean = sv_round2_first(

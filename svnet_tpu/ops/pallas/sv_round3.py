@@ -491,9 +491,32 @@ def _round3_kernel(
     if take_wins:
         # graph reuse: the neighbour rows were selected by an earlier round
         # (absolute ids over the full N) — phase 1 drops out entirely.
-        planes_w = planesT_ref[0]
-        rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
         wins = [winsin_ref[0, r : r + 1, :] for r in range(k)]
+        if W < N:
+            # gather compaction (config.reuse_gather_window): the wrapper
+            # certified every winner block fits W rows, so gather from a
+            # compaction of just those blocks — bitwise-identical output
+            # (excluded rows contribute exact zeros to the one-hot matmul)
+            planes_cmp, rows_cmp, cur_ref = cmp_scratch
+            nb = N // BS
+            cur_ref[0] = 0
+            # padding rows must never match a winner id in the gather mask
+            rows_cmp[...] = jnp.full((W, 1), -1, jnp.int32)
+            for bk in range(nb):
+                @pl.when(keep_ref[0, t, bk] > 0)
+                def _(bk=bk):
+                    c = cur_ref[0]
+                    dst = pl.ds(pl.multiple_of(c * BS, BS), BS)
+                    planes_cmp[:, dst] = planesT_ref[0, :, bk * BS : (bk + 1) * BS]
+                    rows_cmp[dst, :] = (
+                        jax.lax.broadcasted_iota(jnp.int32, (BS, 1), 0) + bk * BS
+                    )
+                    cur_ref[0] = c + 1
+            planes_w = planes_cmp[:]
+            rows = rows_cmp[:]  # (W, 1) absolute ids
+        else:
+            planes_w = planesT_ref[0]
+            rows = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     elif W == N:
         src_w = src_ref[0]  # (N, C)
         aa_w = aa_ref[0]
@@ -568,15 +591,23 @@ def _round3_kernel(
     gath_acc = None
 
     def gather_dots(wins_g):
-        """Issue the group's one-hot gather matmuls (MXU, no decode)."""
-        outs = []
-        for win in wins_g:
-            mask = (rows == win).astype(jnp.int8)
-            outs.append(jax.lax.dot_general(
-                planes_w, mask, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            ))  # (PC, T)
-        return outs
+        """The group's one-hot gathers as ONE wide MXU matmul.
+
+        All G masks are built first (VPU), then a single
+        (PC, W) @ (W, G*T) dot — matmul columns are independent, so the
+        result is BITWISE the per-rank dots', but the MXU sees one long
+        op to overlap the next chunk's VPU work with, instead of G
+        dependency-chained mask->dot pairs. (r3.3: conv4 reuse gather leg
+        279 -> 244 us/cloud, full reuse round 373 -> 340;
+        tools/bench_round3_stages --reuse.)
+        """
+        masks = [(rows == win).astype(jnp.int8) for win in wins_g]
+        g = jax.lax.dot_general(
+            planes_w, jnp.concatenate(masks, axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (PC, G*T)
+        return [g[:, i * T : (i + 1) * T] for i in range(len(wins_g))]
 
     def decode_group(gs):
         """Decode the group's raw gathers into channel-major scratch."""
@@ -616,14 +647,19 @@ def _round3_kernel(
             for i in range(3)
         ]
 
-        # Vector2Scalar z: exact f32 VPU reduction (see _zvpu)
-        z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j]: (1, L)
-        sv = []
-        for jj in range(3):
-            acc = v_e[0] * z[0][jj]
-            acc = acc + v_e[1] * z[1][jj]
-            acc = acc + v_e[2] * z[2][jj]
-            sv.append(acc)  # (2V, L)
+        if ablate == "noz":
+            # profiling leg: skip the quadratic Vector2Scalar (z build +
+            # 9 scaled adds) — same downstream shapes, garbage values
+            sv = v_e
+        else:
+            # Vector2Scalar z: exact f32 VPU reduction (see _zvpu)
+            z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j]: (1, L)
+            sv = []
+            for jj in range(3):
+                acc = v_e[0] * z[0][jj]
+                acc = acc + v_e[1] * z[1][jj]
+                acc = acc + v_e[2] * z[2][jj]
+                sv.append(acc)  # (2V, L)
 
         if S > 0:
             s_e = jnp.concatenate(
@@ -661,6 +697,9 @@ def _round3_kernel(
         for r in range(Rg):
             ys = y[:, r * T : (r + 1) * T]
             s_acc = ys if s_acc is None else jnp.maximum(s_acc, ys)
+
+        if ablate == "novec":
+            return  # profiling leg: skip the vector output stream entirely
 
         # vector stream: linear2 (+scale2) via MXU (V_out x 2V), VectorBN
         w2 = w2_ref[:]  # (V_out, 2V) pre-transposed
@@ -706,8 +745,11 @@ def _round3_kernel(
 
     s_out_ref[0] = s_acc
     inv_k = jnp.float32(1.0 / k)
-    for i in range(3):
-        v_out_ref[0, V_out * i : V_out * (i + 1), :] = v_acc[i] * inv_k
+    if ablate == "novec":
+        v_out_ref[0] = jnp.zeros_like(v_out_ref[0])
+    else:
+        for i in range(3):
+            v_out_ref[0, V_out * i : V_out * (i + 1), :] = v_acc[i] * inv_k
     if S > 0:
         ssum_ref[0, 0] = se_sum
     else:
@@ -722,15 +764,15 @@ def _round3_tiles(N: int, k: int, C: int, S: int, V: int, S_out: int,
     (C/PC, N) sources, plus the chunk's (rows, R*T) block intermediates
     (~4C + 4(2S+6V) + 2S_out + 5V_out rows of f32).
 
-    ``reuse`` (wins_in rounds): the selection key arrays never exist — only
-    the transient per-rank (N, T) int8 one-hot mask is T-proportional, so
-    tiles grow toward the 512 cap.
+    ``reuse`` (wins_in rounds): the selection key arrays never exist — the
+    live T-proportional state is the chunk's G=8 concatenated (N, T) int8
+    one-hot masks (gather_dots) plus decode rows.
     """
     budget = 11 * 1024 * 1024
     gb8 = _gb8(mode)
     nplanes = 4 if mode == "exact" else (1 if gb8 else 2)
     fixed = N * C * 4 * 2 + N * nplanes * _plane_stride_t(C)
-    per_t = N * 2 if reuse else N * 4 * (5 if mode == "exact" else 4)
+    per_t = N * 10 if reuse else N * 4 * (5 if mode == "exact" else 4)
     rows = 4 * C + 4 * (2 * S + 6 * V) + 2 * S_out + 5 * V_out + 16
     # Mosaic requires the block's lane dim be a multiple of 128 or the full
     # array dim: T is either N (small clouds) or a multiple-of-128 divisor
@@ -848,7 +890,7 @@ def _prune_prepass(src: jax.Array, k: int, T: int, W: int):
     jax.jit,
     static_argnames=("S", "V", "S_out", "V_out", "k", "T", "R", "binary",
                      "mode", "interpret", "window", "emit_wins", "ablate",
-                     "cm"),
+                     "cm", "gather_window"),
 )
 def sv_round3(
     src: jax.Array,   # (B, N, S + 3V): [s | v flat i-major], row-major
@@ -857,6 +899,7 @@ def sv_round3(
     binary: bool = True, mode: str = "exact", interpret: bool = False,
     window: int = 0, wins_in: jax.Array | None = None,
     emit_wins: bool = False, ablate: str = "", cm: bool = False,
+    gather_window: int = 0,
 ):
     """v3 fused round; drop-in contract-compatible with sv_round2.
 
@@ -871,8 +914,18 @@ def sv_round3(
     bitwise the full scan's; fast/approx differ only within their own
     quantization-tie class.
 
+    ``gather_window`` (0 = off; requires ``wins_in``): gather-compaction
+    width for graph-reuse rounds (config.reuse_gather_window). The
+    winner ids are known before the kernel runs, so a cheap XLA prepass
+    flags the 128-row blocks containing each tile's winners and the
+    kernel gathers from a W-row compaction of just those — BITWISE
+    identical to the full-width gather, with a lax.cond full-scan
+    fallback when any tile's winner blocks exceed W rows.
+
     ``ablate`` (profiling only, outputs are garbage): "sel" = key build +
-    selection only; "gather" = + one-hot gather + decode, no block math.
+    selection only; "gather" = + one-hot gather + decode, no block math;
+    "noz" = full minus the quadratic Vector2Scalar; "novec" = full minus
+    the vector output stream.
     The legs behind PERF.md's v3 stage tables (tools/bench_round3_stages.py).
 
     ``cm`` (channel-major plumbing): ``src`` arrives (B, C, N) and
@@ -884,6 +937,8 @@ def sv_round3(
     assert mode in MODES, mode
     assert wins_in is None or not window, "graph reuse excludes windowing"
     assert wins_in is None or not emit_wins
+    assert wins_in is not None or not gather_window, \
+        "gather_window requires wins_in (graph-reuse rounds)"
     if cm:  # channel-major plumbing: src arrives (B, C, N)
         B, _, N = src.shape
     else:
@@ -957,7 +1012,15 @@ def sv_round3(
 
     def call(W, keep):
         scratch = [pltpu.VMEM((C, R * T), jnp.float32)]
-        if W < N:
+        if W < N and reuse:
+            # gather compaction: only planes + absolute row ids (selection
+            # already ran — no src/aa distance operands)
+            scratch += [
+                pltpu.VMEM((PC, W), jnp.int8),
+                pltpu.VMEM((W, 1), jnp.int32),
+                pltpu.SMEM((1,), jnp.int32),
+            ]
+        elif W < N:
             scratch += [
                 pltpu.VMEM((W, C), jnp.float32),
                 pltpu.VMEM((PC, W), jnp.int8),
@@ -1036,6 +1099,21 @@ def sv_round3(
         res = jax.lax.cond(
             ok,
             lambda: call(window, keep),
+            lambda: call(N, keep_dummy),
+        )
+    elif reuse and 0 < gather_window < N:
+        assert gather_window % BS == 0, gather_window
+        nbk = N // BS
+        blk_t = (wins_in // BS).reshape(B, k, nt, T)
+        bidx = jax.lax.broadcasted_iota(jnp.int32, blk_t.shape, 0)
+        tidx = jax.lax.broadcasted_iota(jnp.int32, blk_t.shape, 2)
+        keep = (
+            jnp.zeros((B, nt, nbk), jnp.int32).at[bidx, tidx, blk_t].max(1)
+        )
+        ok = jnp.all(jnp.sum(keep, axis=-1) * BS <= gather_window)
+        res = jax.lax.cond(
+            ok,
+            lambda: call(gather_window, keep),
             lambda: call(N, keep_dummy),
         )
     else:
@@ -1150,13 +1228,20 @@ def _round3_first_kernel(
 
     done = 0
     for R in grp_sizes:
+        # all R masks first, then ONE wide one-hot matmul (bitwise equal
+        # to per-rank dots — matmul columns are independent; see
+        # sv_round3's gather_dots)
+        masks = [
+            (rows == wins[done + r]).astype(jnp.int8) for r in range(R)
+        ]
+        gg = jax.lax.dot_general(
+            planes_w, jnp.concatenate(masks, axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (PC, R*T)
         nbr_cols = []
         for r in range(R):
-            mask = (rows == wins[done + r]).astype(jnp.int8)
-            g = jax.lax.dot_general(
-                planes_w, mask, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )  # (PC, T)
+            g = gg[:, r * T : (r + 1) * T]
             nbr_cols.append(
                 _decode_exact_t(g, C) if exact else
                 (_decode_q8_t if gb8 else _decode_fast_t)(g, invT_ref[:], C)

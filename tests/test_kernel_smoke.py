@@ -176,3 +176,41 @@ def test_point_block_cm_matches_row_major():
     np.testing.assert_allclose(
         np.asarray(got_vmean), np.asarray(want_vmean), rtol=1e-5, atol=1e-5
     )
+
+
+def test_engine_morton_serving_glue():
+    """config.reuse_gather_window's engine glue: Morton sort at entry and
+    (partseg) per-point un-permutation at exit preserve the model output.
+
+    cls logits are permutation-invariant up to reduction reassociation;
+    partseg per-point logits must land back on THEIR points — a wrong
+    inverse permutation produces garbage far outside the tolerance. The
+    in-kernel compacted-gather branch itself is bitwise-tested in
+    test_sv_round3.py::test_reuse_gather_window_bitwise; at N=64 < 128 the
+    window is inert, keeping this default-suite test cheap.
+    """
+    from svnet_tpu import config
+    from svnet_tpu.infer import SVDGCNNPsegEngine
+
+    model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=True)
+    points = jax.random.normal(jax.random.PRNGKey(11), (B, N, 3))
+    label = jnp.zeros((B, 16)).at[:, 3].set(1.0)
+    variables = model.init(jax.random.PRNGKey(12), points, label)
+    variables = {
+        "params": variables["params"],
+        "batch_stats": jax.tree.map(
+            lambda x: x + 0.3 * jnp.abs(x) + 0.05, variables["batch_stats"]
+        ),
+    }
+    eng = SVDGCNNPsegEngine(
+        variables, num_part=50, k=K, binary=True, exact=True, interpret=True
+    )
+    try:
+        config.set_graph_reuse("spatial")
+        want = np.asarray(eng(points, label))
+        config.set_reuse_gather_window(128)
+        got = np.asarray(eng(points, label))
+    finally:
+        config.set_graph_reuse("none")
+        config.set_reuse_gather_window(0)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-5)

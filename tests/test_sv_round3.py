@@ -357,6 +357,42 @@ def test_graph_reuse_first_round_emits_xyz_knn():
     )
 
 
+def test_reuse_gather_window_bitwise():
+    """config.reuse_gather_window compaction reproduces the full-width
+    reuse gather bitwise — both when the winner blocks fit the window
+    (compacted branch) and when they don't (lax.cond full-scan fallback).
+    Excluded rows contribute exact zeros to the int32 one-hot matmul, so
+    equality is bitwise, not approximate."""
+    N2, K2, T2 = 256, 4, 128  # 2 source blocks of BS=128
+    folded = _folded(jax.random.PRNGKey(8))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=T2, R=4,
+              binary=True, mode="exact", interpret=True)
+
+    # block-local clouds: rows [0,128) cluster at 0, rows [128,256) at +50
+    # => each tile's winners live in its own single block and W=128 fits
+    base_pts = jax.random.normal(jax.random.PRNGKey(9), (B, N2, S + 3 * V))
+    shift = jnp.where(jnp.arange(N2)[None, :, None] < 128, 0.0, 50.0)
+    src_local = base_pts + shift
+    wins = sv_round3(src_local, folded, emit_wins=True, **kw)[3]
+    full = sv_round3(src_local, folded, wins_in=wins, **kw)
+    cmp_ = sv_round3(src_local, folded, wins_in=wins, gather_window=128,
+                     **kw)
+    for a, b in zip(full, cmp_):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the compacted branch really ran: every tile's winners fit one block
+    blk = np.asarray(wins) // 128  # (B, k, N)
+    assert (blk[:, :, :128] == 0).all() and (blk[:, :, 128:] == 1).all()
+
+    # shuffled cloud: winners span both blocks -> fallback, still bitwise
+    src_rand = jax.random.normal(jax.random.PRNGKey(10), (B, N2, S + 3 * V))
+    wins_r = sv_round3(src_rand, folded, emit_wins=True, **kw)[3]
+    full_r = sv_round3(src_rand, folded, wins_in=wins_r, **kw)
+    cmp_r = sv_round3(src_rand, folded, wins_in=wins_r, gather_window=128,
+                      **kw)
+    for a, b in zip(full_r, cmp_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("mode", ["exact", "fast"])
 def test_round_block_matmul_int8_bitwise(mode):
     """config.round_block_matmul='int8' is value-identical to the bf16

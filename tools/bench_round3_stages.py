@@ -77,6 +77,17 @@ def main():
     ap.add_argument("--k", type=int, default=None)
     ap.add_argument("--rounds", default=None,
                     help="comma-separated round names (default: all)")
+    ap.add_argument("--reuse", action="store_true",
+                    help="bench the graph-reuse (wins_in) path: selection "
+                         "is skipped, so the legs start at gather")
+    ap.add_argument("--tile", type=int, default=0,
+                    help="override the kernel point-tile T (0 = auto)")
+    ap.add_argument("--gather-window", type=int, default=0,
+                    help="with --reuse: gather-compaction width "
+                         "(config.reuse_gather_window mechanism). Uses "
+                         "spatially-coherent features (Morton-sorted "
+                         "surface positions lifted through a linear map) "
+                         "so the winner blocks actually compact")
     args = ap.parse_args()
 
     B = args.batch or (128 if args.task == "cls" else 32)
@@ -105,16 +116,48 @@ def main():
             jnp.asarray,
             fold_svblock_params(p[name], bs[name], S, V, True),
         )
+        C = S + 3 * V
         src = jax.random.normal(
-            jax.random.PRNGKey(2), (B, N, S + 3 * V), jnp.float32
+            jax.random.PRNGKey(2), (B, N, C), jnp.float32
         )
+        wins = None
+        if args.reuse and args.gather_window:
+            # emulate the serving path exactly: graph_reuse='spatial' takes
+            # the winner ids from the FIRST round's xyz kNN on the Morton-
+            # sorted cloud — those are block-local by geometry (the engine
+            # sorts at entry, infer._maybe_morton)
+            from svnet_tpu import ops as _ops
+            from svnet_tpu.utils.synth import morton_sorted_surface_clouds
+
+            pos = morton_sorted_surface_clouds(7, B, N)  # (B, N, 3)
+            wins = jnp.swapaxes(_ops.knn(pos, k), 1, 2)  # (B, k, N)
+            import numpy as _np
+
+            blk = _np.asarray(wins) // 128
+            nt = max(N // (args.tile or 512), 1)  # locality at reuse tiles
+            spans = [
+                len(_np.unique(blk[b, :, t * (N // nt):(t + 1) * (N // nt)]))
+                for b in range(min(B, 4)) for t in range(nt)
+            ]
+            print(f"# winner-block span (of {N // 128}): "
+                  f"max {max(spans)} mean {sum(spans)/len(spans):.1f}")
+        elif args.reuse:
+            wins = sv_round3(
+                src, folded, S=S, V=V, S_out=So, V_out=Vo, k=k,
+                binary=True, mode=args.mode, emit_wins=True,
+            )[3]
         prev = 0.0
-        print(f"\n== {name} ({S},{V})->({So},{Vo})")
-        for leg in ("sel", "gather", ""):
+        print(f"\n== {name} ({S},{V})->({So},{Vo})"
+              + (" [reuse]" if args.reuse else ""))
+        legs = ("gather", "noz", "novec", "") if args.reuse else (
+            "sel", "gather", "noz", "novec", "")
+        for leg in legs:
             ms = timed_call(
                 lambda s, leg=leg, S=S, V=V, So=So, Vo=Vo: sv_round3(
                     s, folded, S=S, V=V, S_out=So, V_out=Vo, k=k,
                     binary=True, mode=args.mode, ablate=leg,
+                    wins_in=wins, gather_window=args.gather_window,
+                    T=args.tile,
                 )[0],
                 (src,),
             )

@@ -82,15 +82,29 @@ def main():
     ap.add_argument("--graph-reuse", choices=["none", "conv2", "spatial"],
                     default=None,
                     help="config.set_graph_reuse for the TOTAL engine leg")
+    ap.add_argument("--approx-fold", type=int, default=None,
+                    help="config.set_approx_fold for all legs")
+    ap.add_argument("--approx-gather-bits", type=int, default=None,
+                    choices=[8, 16],
+                    help="config.set_approx_gather_bits for all legs")
+    ap.add_argument("--morton-entry", action="store_true",
+                    help="config.set_morton_entry for the TOTAL engine leg")
     args = ap.parse_args()
 
-    if args.block_matmul or args.graph_reuse:
+    if (args.block_matmul or args.graph_reuse or args.approx_fold
+            or args.approx_gather_bits or args.morton_entry):
         from svnet_tpu import config
 
         if args.block_matmul:
             config.set_round_block_matmul(args.block_matmul)
         if args.graph_reuse:
             config.set_graph_reuse(args.graph_reuse)
+        if args.approx_fold:
+            config.set_approx_fold(args.approx_fold)
+        if args.approx_gather_bits:
+            config.set_approx_gather_bits(args.approx_gather_bits)
+        if args.morton_entry:
+            config.set_morton_entry(True)
 
     from svnet_tpu import models
     from svnet_tpu.ops.pallas.sv_round3 import sv_round3, sv_round3_first
