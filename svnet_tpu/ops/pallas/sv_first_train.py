@@ -115,21 +115,23 @@ def _first_train_kernel(
         scat = None  # (3, N) neighbour-path grads
 
     for chunk in range(k // R):
-        nbr_cols = []
+        # all R masks first, then ONE wide one-hot matmul + one wide decode
+        # (bitwise the per-rank dots'; see sv_round3.gather_dots, r3.3)
+        masks = []
         masks_tn = []
         for r in range(R):
             j = chunk * R + r
             idx_row = idxT_ref[0, j : j + 1, pl.ds(pl.multiple_of(t * T, T), T)]
-            mask = (rowsN == idx_row).astype(jnp.int8)  # (N, T)
-            g = jax.lax.dot_general(
-                planesT, mask, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            nbr_cols.append(_decode_exact_t(g, 3))
+            masks.append((rowsN == idx_row).astype(jnp.int8))  # (N, T)
             if phase == "b2":
                 idx_col = idx_ref[0, pl.ds(pl.multiple_of(t * T, T), T), j : j + 1]
                 masks_tn.append((colsN == idx_col).astype(jnp.bfloat16))
-        nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L)
+        gg = jax.lax.dot_general(
+            planesT, jnp.concatenate(masks, axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )
+        nbrT = _decode_exact_t(gg, 3)  # (3, L)
         L = R * T
         ctr_rep = jnp.tile(ctrT, (1, R))
         e = nbrT - ctr_rep
@@ -295,7 +297,8 @@ def _first_train_kernel(
             dsrc_acc = dsrc_acc + dctr[:, r * T : (r + 1) * T]
             dnb = dnbr[:, r * T : (r + 1) * T]
             # two-plane bf16 split (hi + residual): near-f32 scatter grads,
-            # same scheme as sv_round3_train
+            # same scheme as sv_round3_train (per-rank on purpose — the
+            # fused concat form benched neutral-to-negative, see there)
             d_hi = dnb.astype(jnp.bfloat16)
             d_lo = (dnb - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
             contrib = jax.lax.dot_general(

@@ -602,23 +602,24 @@ def _round3_kernel(
         tools/bench_round3_stages --reuse.)
         """
         masks = [(rows == win).astype(jnp.int8) for win in wins_g]
-        g = jax.lax.dot_general(
+        return jax.lax.dot_general(
             planes_w, jnp.concatenate(masks, axis=1),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, G*T)
-        return [g[:, i * T : (i + 1) * T] for i in range(len(wins_g))]
 
-    def decode_group(gs):
-        """Decode the group's raw gathers into channel-major scratch."""
-        for r, g in enumerate(gs):
-            if exact:
-                nbr = _decode_exact_t(g, C)
-            elif gb8:
-                nbr = _decode_q8_t(g, invT_ref[:], C)
-            else:
-                nbr = _decode_fast_t(g, invT_ref[:], C)
-            nbr_scratch[:, r * T : (r + 1) * T] = nbr
+    def decode_group(g):
+        """Decode the group's raw (PC, G*T) gather into channel-major
+        scratch — one wide elementwise decode (the decoders are width-
+        generic row slicers), not G per-rank calls."""
+        GT = g.shape[1]
+        if exact:
+            nbr = _decode_exact_t(g, C)
+        elif gb8:
+            nbr = _decode_q8_t(g, invT_ref[:], C)
+        else:
+            nbr = _decode_fast_t(g, invT_ref[:], C)
+        nbr_scratch[:, 0:GT] = nbr
 
     def block_chunk(Rg):
         """SVBlock math over the Rg gathered ranks currently in scratch,
@@ -647,19 +648,25 @@ def _round3_kernel(
             for i in range(3)
         ]
 
+        # one lane-concat of the 3 spatial components, shared by the
+        # Vector2Scalar reductions and the linear2 matmul below (r3.3):
+        # both apply the SAME weights to each component, so 3 narrow ops
+        # become 1 wide op each — bitwise identical (columns independent,
+        # per-lane sums untouched)
+        v_cat = jnp.concatenate(v_e, axis=1)  # (2V, 3L)
+
         if ablate == "noz":
             # profiling leg: skip the quadratic Vector2Scalar (z build +
             # 9 scaled adds) — same downstream shapes, garbage values
             sv = v_e
         else:
             # Vector2Scalar z: exact f32 VPU reduction (see _zvpu)
-            z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j]: (1, L)
+            z_cat = _zvpu(wzcols, v_cat)  # z_cat[j]: (1, 3L)
             sv = []
             for jj in range(3):
-                acc = v_e[0] * z[0][jj]
-                acc = acc + v_e[1] * z[1][jj]
-                acc = acc + v_e[2] * z[2][jj]
-                sv.append(acc)  # (2V, L)
+                p = v_cat * z_cat[jj]  # (2V, 3L)
+                # same left-assoc add order as the per-component form
+                sv.append(p[:, 0:L] + p[:, L : 2 * L] + p[:, 2 * L : 3 * L])
 
         if S > 0:
             s_e = jnp.concatenate(
@@ -701,16 +708,14 @@ def _round3_kernel(
         if ablate == "novec":
             return  # profiling leg: skip the vector output stream entirely
 
-        # vector stream: linear2 (+scale2) via MXU (V_out x 2V), VectorBN
-        w2 = w2_ref[:]  # (V_out, 2V) pre-transposed
-        wl = [
-            jax.lax.dot_general(
-                w2, v_e[i], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            * scale2T_ref[:]
-            for i in range(3)
-        ]
+        # vector stream: linear2 (+scale2) via MXU (V_out x 2V), VectorBN.
+        # ONE (V_out, 2V) @ (2V, 3L) dot over the shared lane-concat —
+        # same weights per component, bitwise the 3 per-component dots'
+        wl_cat = jax.lax.dot_general(
+            w2_ref[:], v_cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        ) * scale2T_ref[:]  # (V_out, 3L)
+        wl = [wl_cat[:, i * L : (i + 1) * L] for i in range(3)]
         nsq = wl[0] * wl[0] + wl[1] * wl[1] + wl[2] * wl[2]
         nrm = jnp.sqrt(nsq) + EPS
         f = a2T_ref[:] + b2T_ref[:] / nrm
@@ -1239,15 +1244,13 @@ def _round3_first_kernel(
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, R*T)
-        nbr_cols = []
-        for r in range(R):
-            g = gg[:, r * T : (r + 1) * T]
-            nbr_cols.append(
-                _decode_exact_t(g, C) if exact else
-                (_decode_q8_t if gb8 else _decode_fast_t)(g, invT_ref[:], C)
-            )
         done += R
-        nbrT = jnp.concatenate(nbr_cols, axis=1)  # (3, L) — tiny, no scratch
+        # one wide decode of the whole (PC, R*T) group (the decoders are
+        # width-generic row slicers)
+        nbrT = (
+            _decode_exact_t(gg, C) if exact else
+            (_decode_q8_t if gb8 else _decode_fast_t)(gg, invT_ref[:], C)
+        )  # (3, L) — tiny, no scratch
 
         L = R * T
         ctr_rep = jnp.tile(ctr_g, (1, R))  # (3, L)
@@ -1272,14 +1275,18 @@ def _round3_first_kernel(
                 for i in range(3)
             ]  # (2, L) x3
 
+        # shared lane-concat (see _round3_kernel r3.3): Vector2Scalar and
+        # linear2 apply the SAME weights per spatial component — 3 narrow
+        # ops become 1 wide op each, bitwise identical
+        v_cat = jnp.concatenate(v_e, axis=1)  # (n_ch, 3L)
+
         def pieces(wzcols):
-            z = [_zvpu(wzcols, v_e[i]) for i in range(3)]  # z[i][j] (1, L)
+            z_cat = _zvpu(wzcols, v_cat)  # z_cat[j]: (1, 3L)
             out = []
             for jj in range(3):
-                acc = v_e[0] * z[0][jj]
-                acc = acc + v_e[1] * z[1][jj]
-                acc = acc + v_e[2] * z[2][jj]
-                out.append(acc)  # (n_ch, L)
+                p = v_cat * z_cat[jj]  # (n_ch, 3L)
+                # same left-assoc add order as the per-component form
+                out.append(p[:, 0:L] + p[:, L : 2 * L] + p[:, 2 * L : 3 * L])
             return out
 
         sva = pieces(wz0cols)
@@ -1303,13 +1310,11 @@ def _round3_first_kernel(
             ys = y[:, r * T : (r + 1) * T]
             s_acc = ys if s_acc is None else jnp.maximum(s_acc, ys)
 
-        wl = [
-            jax.lax.dot_general(
-                w2T_ref[:], v_e[i], (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec,
-            )
-            for i in range(3)
-        ]  # (V_out, L)
+        wl_cat = jax.lax.dot_general(
+            w2T_ref[:], v_cat, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec,
+        )  # (V_out, 3L) — one dot over the shared concat, bitwise equal
+        wl = [wl_cat[:, i * L : (i + 1) * L] for i in range(3)]
         nsq = wl[0] * wl[0] + wl[1] * wl[1] + wl[2] * wl[2]
         nrm = jnp.sqrt(nsq) + EPS
         f = a2T_ref[:] + b2T_ref[:] / nrm

@@ -128,21 +128,24 @@ def _train_round_kernel(
 
     for chunk in range(k // R):
         # ---- gather R ranks into channel-major (C, L) ----
-        nbr_cols = []
+        # all R masks first, then ONE wide one-hot matmul + one wide decode
+        # (bitwise the per-rank dots' — matmul columns are independent;
+        # same MXU-pipelining move as sv_round3.gather_dots, r3.3)
+        masks = []
         masks_tn = []
         for r in range(R):
             j = chunk * R + r
             idx_row = idxT_ref[0, j : j + 1, pl.ds(pl.multiple_of(t * T, T), T)]
-            mask = (rowsN == idx_row).astype(jnp.int8)  # (N, T)
-            g = jax.lax.dot_general(
-                planesT, mask, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32,
-            )
-            nbr_cols.append(_decode_exact_t(g, C))
+            masks.append((rowsN == idx_row).astype(jnp.int8))  # (N, T)
             if phase == "b2":
                 idx_col = idx_ref[0, pl.ds(pl.multiple_of(t * T, T), T), j : j + 1]
                 masks_tn.append((colsN == idx_col).astype(jnp.bfloat16))  # (T, N)
-        nbrT = jnp.concatenate(nbr_cols, axis=1)  # (C, L)
+        gg = jax.lax.dot_general(
+            planesT, jnp.concatenate(masks, axis=1),
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        )  # (4*stride, R*T)
+        nbrT = _decode_exact_t(gg, C)  # (C, L)
         L = R * T
         ctr_rep = jnp.tile(ctrT, (1, R))
         e = nbrT - ctr_rep
@@ -350,7 +353,11 @@ def _train_round_kernel(
             dsrc_acc = dsrc_acc + dctr[:, r * T : (r + 1) * T]
             # two-plane bf16 split (hi + residual): the one-hot operand is
             # exact in bf16 and the MXU accumulates in f32 -> ~2^-16-
-            # relative scatter grads (same scheme as edge_gather bwd)
+            # relative scatter grads (same scheme as edge_gather bwd).
+            # NOTE (r3.3, measured): fusing the R scatters into one
+            # (C, L) @ (L, N) contraction (concat masks_tn) benched
+            # NEUTRAL-to-negative on-chip — the mask concat copy eats the
+            # deep-matmul win. Kept per-rank.
             dnb = dnbr[:, r * T : (r + 1) * T]
             d_hi = dnb.astype(jnp.bfloat16)
             d_lo = (dnb - d_hi.astype(jnp.float32)).astype(jnp.bfloat16)
