@@ -302,26 +302,34 @@ def main():
             _cfg.set_reuse_gather_window(0)
             _cfg.set_approx_fold(256)
 
+    # headline: the accuracy-certified SERVING configuration when it was
+    # measured (BASELINE.md's renegotiated target is defined for serving;
+    # VERDICT r2 item 2 — the serving mode is the driver-captured
+    # headline); fast/exact ride along as named parity legs.
     head_mode = modes[0]
-    value = round(results[head_mode], 1)
+    if serving is not None:
+        value, head_label = serving, "serving"
+    else:
+        value, head_label = round(results[head_mode], 1), head_mode
     out = {
         "metric": f"svnet_{args.arch}_binary_inference_{args.task}",
         "value": value,
         "unit": (
             f"clouds/s/chip @ {args.num_points} pts "
             f"(B={args.batch}, k={args.k}, engine={engines[head_mode]}, "
-            f"mode={head_mode})"
+            f"mode={head_label})"
         ),
         "vs_baseline": round(value / NORTH_STAR, 4),
         "vs_target": round(value / TARGET[args.task], 4),
         "engine": engines[head_mode],
-        "mode": head_mode,
+        "mode": head_label,
         "engine_fallback": any(e != args.engine for e in engines.values()),
     }
+    if serving is not None:
+        out[f"value_{head_mode}"] = round(results[head_mode], 1)
     for mode in modes[1:]:
         out[f"value_{mode}"] = round(results[mode], 1)
     if serving is not None:
-        out["value_serving"] = serving
         out["serving_config"] = (
             "approx + 8-bit gathers + spatial graph reuse"
             + (f" + gather window {args.num_points // 2} (Morton)"

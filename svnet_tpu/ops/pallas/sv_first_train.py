@@ -83,7 +83,7 @@ def _first_train_kernel(
 
     ctrT = ptsT_ref[0, :, pl.ds(pl.multiple_of(t * T, T), T)]  # (3, T)
     planesT = planesT_ref[0]
-    rowsN = jax.lax.broadcasted_iota(jnp.int32, (N, T), 0)
+    rowsN = jax.lax.broadcasted_iota(jnp.int32, (N, 1), 0)
     if phase == "b2":
         colsN = jax.lax.broadcasted_iota(jnp.int32, (T, N), 1)
 
@@ -115,19 +115,22 @@ def _first_train_kernel(
         scat = None  # (3, N) neighbour-path grads
 
     for chunk in range(k // R):
-        # all R masks first, then ONE wide one-hot matmul + one wide decode
-        # (bitwise the per-rank dots'; see sv_round3.gather_dots, r3.3)
-        masks = []
+        # concat the TINY (1, T) winner rows, ONE wide compare + one-hot
+        # matmul + decode (bitwise the per-rank dots'; mask-copy analysis
+        # in sv_round3.gather_dots, r3.3)
         masks_tn = []
+        idx_rows = []
         for r in range(R):
             j = chunk * R + r
-            idx_row = idxT_ref[0, j : j + 1, pl.ds(pl.multiple_of(t * T, T), T)]
-            masks.append((rowsN == idx_row).astype(jnp.int8))  # (N, T)
+            idx_rows.append(
+                idxT_ref[0, j : j + 1, pl.ds(pl.multiple_of(t * T, T), T)]
+            )
             if phase == "b2":
                 idx_col = idx_ref[0, pl.ds(pl.multiple_of(t * T, T), T), j : j + 1]
                 masks_tn.append((colsN == idx_col).astype(jnp.bfloat16))
+        win_wide = jnp.concatenate(idx_rows, axis=1)  # (1, R*T)
         gg = jax.lax.dot_general(
-            planesT, jnp.concatenate(masks, axis=1),
+            planesT, (rowsN == win_wide).astype(jnp.int8),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )

@@ -601,10 +601,15 @@ def _round3_kernel(
         279 -> 244 us/cloud, full reuse round 373 -> 340;
         tools/bench_round3_stages --reuse.)
         """
-        masks = [(rows == win).astype(jnp.int8) for win in wins_g]
+        # concat the TINY (1, T) winner rows, then ONE wide compare: the
+        # (W, G*T) mask materializes once, directly in its final layout —
+        # concatenating G per-rank (W, T) masks instead copies ~4 MB of
+        # int8 per chunk through the VPU, which measured ~60% of the
+        # gather leg (r3.3 mask microbench). Bitwise identical.
+        win_wide = jnp.concatenate(wins_g, axis=1)  # (1, G*T)
+        mask = (rows == win_wide).astype(jnp.int8)  # (W, G*T)
         return jax.lax.dot_general(
-            planes_w, jnp.concatenate(masks, axis=1),
-            (((1,), (0,)), ((), ())),
+            planes_w, mask, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, G*T)
 
@@ -1233,14 +1238,14 @@ def _round3_first_kernel(
 
     done = 0
     for R in grp_sizes:
-        # all R masks first, then ONE wide one-hot matmul (bitwise equal
-        # to per-rank dots — matmul columns are independent; see
-        # sv_round3's gather_dots)
-        masks = [
-            (rows == wins[done + r]).astype(jnp.int8) for r in range(R)
-        ]
+        # concat the TINY (1, T) winner rows, ONE wide compare, ONE wide
+        # one-hot matmul (bitwise equal to per-rank dots — matmul columns
+        # are independent; mask-copy analysis in sv_round3's gather_dots)
+        win_wide = jnp.concatenate(
+            [wins[done + r] for r in range(R)], axis=1
+        )  # (1, R*T)
         gg = jax.lax.dot_general(
-            planes_w, jnp.concatenate(masks, axis=1),
+            planes_w, (rows == win_wide).astype(jnp.int8),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, R*T)
