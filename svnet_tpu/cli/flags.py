@@ -115,6 +115,14 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
              "(config.set_graph_reuse): conv2 = conv3/4 reuse conv2's "
              "feature-space graph; spatial = all rounds reuse the xyz graph",
     )
+    p.add_argument(
+        "--morton-entry", action="store_true",
+        help="Morton-sort clouds at fused-engine entry "
+             "(config.set_morton_entry; exact — cls pooling is "
+             "permutation-invariant, partseg un-permutes its logits; "
+             "improves approx-fold recall and enables the block-local "
+             "exact levers on any caller point order)",
+    )
     p.add_argument("--fused", action="store_true",
                    help="use the fused Pallas inference engine for --test"
                         " evaluation (svnet+dgcnn only)")

@@ -601,15 +601,17 @@ def _round3_kernel(
         279 -> 244 us/cloud, full reuse round 373 -> 340;
         tools/bench_round3_stages --reuse.)
         """
-        # concat the TINY (1, T) winner rows, then ONE wide compare: the
-        # (W, G*T) mask materializes once, directly in its final layout —
-        # concatenating G per-rank (W, T) masks instead copies ~4 MB of
-        # int8 per chunk through the VPU, which measured ~60% of the
-        # gather leg (r3.3 mask microbench). Bitwise identical.
-        win_wide = jnp.concatenate(wins_g, axis=1)  # (1, G*T)
-        mask = (rows == win_wide).astype(jnp.int8)  # (W, G*T)
+        # NOTE (r3.3, measured): per-rank compares + mask concat ON
+        # PURPOSE. The "cleaner" single wide compare against a (1, G*T)
+        # concat of the winner rows is bitwise identical but benched
+        # cls exact 2,374 -> 2,103 (-12%) — Mosaic pipelines the G
+        # narrow compares with the MXU better than one wide one. The
+        # mask BUILD itself is the second gather wall either way
+        # (k*N^2 VPU element ops; see PERF.md "refined gather floor").
+        masks = [(rows == win).astype(jnp.int8) for win in wins_g]
         return jax.lax.dot_general(
-            planes_w, mask, (((1,), (0,)), ((), ())),
+            planes_w, jnp.concatenate(masks, axis=1),
+            (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, G*T)
 
@@ -1238,14 +1240,15 @@ def _round3_first_kernel(
 
     done = 0
     for R in grp_sizes:
-        # concat the TINY (1, T) winner rows, ONE wide compare, ONE wide
-        # one-hot matmul (bitwise equal to per-rank dots — matmul columns
-        # are independent; mask-copy analysis in sv_round3's gather_dots)
-        win_wide = jnp.concatenate(
-            [wins[done + r] for r in range(R)], axis=1
-        )  # (1, R*T)
+        # per-rank compares + mask concat, ONE wide one-hot matmul
+        # (bitwise equal to per-rank dots — matmul columns are
+        # independent; the single-wide-compare variant measured -12%
+        # cls exact, see sv_round3's gather_dots)
+        masks = [
+            (rows == wins[done + r]).astype(jnp.int8) for r in range(R)
+        ]
         gg = jax.lax.dot_general(
-            planes_w, (rows == win_wide).astype(jnp.int8),
+            planes_w, jnp.concatenate(masks, axis=1),
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32,
         )  # (PC, R*T)
