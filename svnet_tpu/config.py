@@ -219,17 +219,22 @@ def set_reuse_gather_window(width: int) -> None:
     _invalidate()
 
 
-exact_selection: str = "update"  # 'update' | 'pair' — exact top-k scheme
+exact_selection: str = "update"  # 'update' | 'pair' | 'fused'
 
 
 def set_exact_selection(name: str) -> None:
     """Exact-mode top-k extraction in the round kernels: 'update' = the
     per-rank update-and-rescan loop (production default); 'pair' = the
     sorted-G (value, row)-pair tournament — same exact semantics including
-    the min-row tie-break, ~G ranks per key traversal (A/B it on-chip with
-    tools/bench_selection.py before flipping the default)."""
+    the min-row tie-break, ~G ranks per key traversal; 'fused' = the
+    update loop with its per-rank ``rows == winner`` predicate REUSED as
+    the gather's one-hot mask column (selection interleaves with the
+    gather/block chunks; bitwise-identical outputs, one (W, T) compare
+    per rank instead of two — the mask build is the second gather wall,
+    PERF.md 'refined gather floor'). A/B on-chip with bench.py
+    --exact-selection before flipping the default."""
     global exact_selection
-    assert name in ("update", "pair"), name
+    assert name in ("update", "pair", "fused"), name
     exact_selection = name
     _invalidate()
 

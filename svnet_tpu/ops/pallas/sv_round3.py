@@ -457,7 +457,7 @@ def _round3_kernel(
     S: int, V: int, S_out: int, V_out: int, k: int, R: int, T: int, N: int,
     W: int, binary: bool, mode: str, gb8: bool = False,
     take_wins: bool = False, emit_wins: bool = False, blk8: bool = False,
-    ablate: str = "",
+    fused_sel: bool = False, ablate: str = "",
 ):
     # optional graph-reuse refs ride at the end of the input/output lists
     # (config.graph_reuse): ``take_wins`` skips distances/keys/selection and
@@ -561,10 +561,13 @@ def _round3_kernel(
             # min(neg) over real candidates only)
             neg = jnp.where(valid, neg, 0.0)
         key = _build_key_t(neg, rows, N, mode, W, valid)
-        wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids
-        if emit_wins:
-            for r in range(k):
-                winsout_ref[0, r : r + 1, :] = wins[r]
+        if fused_sel and exact and not ablate:
+            wins = None  # extracted inside the fused chunk loop below
+        else:
+            wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids
+            if emit_wins:
+                for r in range(k):
+                    winsout_ref[0, r : r + 1, :] = wins[r]
 
     if ablate == "sel" and not take_wins:
         # profiling leg: selection + key build only. Outputs consume the
@@ -743,11 +746,43 @@ def _round3_kernel(
     # association is bitwise identical between a normal round and its
     # wins_in replay (graph-reuse roundtrip test)
     done = 0
-    while done < k:
-        G = min(_SEL_G, k - done)
-        decode_group(gather_dots([wins[done + r] for r in range(G)]))
-        block_chunk(G)
-        done += G
+    if wins is None:
+        # fused exact selection (config.exact_selection='fused'): the
+        # update-and-rescan loop's per-rank ``rows == winner`` predicate
+        # IS the gather's one-hot column — build it once, use it for the
+        # INT_MIN scatter AND the mask concat (one (W, T) compare per
+        # rank instead of two; the mask build is the second gather wall,
+        # PERF.md 'refined gather floor'). Group pattern, dot, and block
+        # math are unchanged, so outputs are bitwise 'update''s.
+        m = jnp.max(key, axis=0, keepdims=True)
+        while done < k:
+            G = min(_SEL_G, k - done)
+            masks = []
+            for j in range(G):
+                amin = jnp.min(
+                    jnp.where(key == m, rows, _BIG), axis=0, keepdims=True
+                )
+                if emit_wins:
+                    winsout_ref[0, done + j : done + j + 1, :] = amin
+                eq = rows == amin
+                masks.append(eq.astype(jnp.int8))
+                if done + j + 1 < k:
+                    key = jnp.where(eq, _INT_MIN, key)
+                    m = jnp.max(key, axis=0, keepdims=True)
+            g = jax.lax.dot_general(
+                planes_w, jnp.concatenate(masks, axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            decode_group(g)
+            block_chunk(G)
+            done += G
+    else:
+        while done < k:
+            G = min(_SEL_G, k - done)
+            decode_group(gather_dots([wins[done + r] for r in range(G)]))
+            block_chunk(G)
+            done += G
 
     if ablate == "gather":
         s_out_ref[0] = jnp.broadcast_to(gath_acc, (S_out, T))
@@ -1089,6 +1124,7 @@ def sv_round3(
                 binary=binary, mode=mode, gb8=gb8,
                 take_wins=wins_in is not None, emit_wins=emit_wins,
                 blk8=config.round_block_matmul == "int8",
+                fused_sel=config.exact_selection == "fused",
                 ablate=ablate,
             ),
             grid=(B, nt),
@@ -1156,6 +1192,7 @@ def _round3_first_kernel(
     *rest,
     S_out: int, V_out: int, k: int, R: int, T: int, N: int, W: int,
     mode: str, cross: bool, gb8: bool = False, emit_wins: bool = False,
+    fused_sel: bool = False,
 ):
     """First fused round, transposed. All quantities are single (1, L) rows
     (C=3 coords), so EVERY contraction is exact f32 VPU FMA work — the
@@ -1220,10 +1257,14 @@ def _round3_first_kernel(
     if valid is not None:
         neg = jnp.where(valid, neg, 0.0)
     key = _build_key_t(neg, rows, N, mode, W, valid)
-    wins = _select_rows(key, rows, N, k, mode)  # k winner row-ids up front
-    if emit_wins:
-        for r in range(k):
-            winsout_ref[0, r : r + 1, :] = wins[r]
+    if fused_sel and exact:
+        wins = None  # extracted inside the fused chunk loop below
+        m = jnp.max(key, axis=0, keepdims=True)
+    else:
+        wins = _select_rows(key, rows, N, k, mode)  # k winner ids up front
+        if emit_wins:
+            for r in range(k):
+                winsout_ref[0, r : r + 1, :] = wins[r]
 
     wz0cols = [wz0c_ref[:, j : j + 1] for j in range(3)]  # (n_ch, 1)
     wz1cols = [wz1c_ref[:, j : j + 1] for j in range(3)]
@@ -1244,9 +1285,26 @@ def _round3_first_kernel(
         # (bitwise equal to per-rank dots — matmul columns are
         # independent; the single-wide-compare variant measured -12%
         # cls exact, see sv_round3's gather_dots)
-        masks = [
-            (rows == wins[done + r]).astype(jnp.int8) for r in range(R)
-        ]
+        if wins is None:
+            # fused exact selection (see _round3_kernel): the update
+            # loop's ``rows == winner`` predicate doubles as the one-hot
+            # mask column — one (W, T) compare per rank instead of two
+            masks = []
+            for j in range(R):
+                amin = jnp.min(
+                    jnp.where(key == m, rows, _BIG), axis=0, keepdims=True
+                )
+                if emit_wins:
+                    winsout_ref[0, done + j : done + j + 1, :] = amin
+                eq = rows == amin
+                masks.append(eq.astype(jnp.int8))
+                if done + j + 1 < k:
+                    key = jnp.where(eq, _INT_MIN, key)
+                    m = jnp.max(key, axis=0, keepdims=True)
+        else:
+            masks = [
+                (rows == wins[done + r]).astype(jnp.int8) for r in range(R)
+            ]
         gg = jax.lax.dot_general(
             planes_w, jnp.concatenate(masks, axis=1),
             (((1,), (0,)), ((), ())),
@@ -1426,6 +1484,7 @@ def sv_round3_first(
                 _round3_first_kernel,
                 S_out=S_out, V_out=V_out, k=k, R=R, T=T, N=N, W=W, mode=mode,
                 cross=cross, gb8=gb8, emit_wins=emit_wins,
+                fused_sel=config.exact_selection == "fused",
             ),
             grid=(B, nt),
             in_specs=[

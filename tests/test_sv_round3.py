@@ -310,6 +310,45 @@ def test_exact_pair_selection_matches_update():
     np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
 
 
+def test_exact_fused_selection_matches_update():
+    """config.exact_selection='fused' (the update loop's ``rows == winner``
+    predicate reused as the gather's one-hot mask) is BITWISE identical to
+    the production update-and-rescan path in exact mode — including
+    distance ties resolved to the same min-row-id winner, the emitted
+    graph-reuse winner tensor, and the first round."""
+    from svnet_tpu import config
+
+    # heavy ties: coordinates snapped to a coarse grid + duplicated points
+    N2, K2 = 64, 4
+    src = jax.random.normal(jax.random.PRNGKey(5), (B, N2, S + 3 * V))
+    src = jnp.round(src * 2.0) / 2.0
+    src = src.at[:, N2 // 2 :].set(src[:, : N2 // 2])  # exact duplicates
+    folded = _folded(jax.random.PRNGKey(1))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
+              binary=True, mode="exact", interpret=True, emit_wins=True)
+    pts = jnp.round(jax.random.normal(jax.random.PRNGKey(6), (B, N2, 3)) * 2.0) / 2.0
+    folded_f = _folded_first(jax.random.PRNGKey(2))
+    kwf = dict(S_out=S_out, V_out=V_out, k=K2, T=N2, R=4, mode="exact",
+               interpret=True)
+
+    s_u, v_u, g_u, w_u = sv_round3(src, folded, **kw)
+    fs_u = sv_round3_first(pts, folded_f, **kwf)
+    jax.clear_caches()  # config is read at trace time
+    config.set_exact_selection("fused")
+    try:
+        s_f, v_f, g_f, w_f = sv_round3(src, folded, **kw)
+        fs_f = sv_round3_first(pts, folded_f, **kwf)
+    finally:
+        config.set_exact_selection("update")
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(s_f), np.asarray(s_u))
+    np.testing.assert_array_equal(np.asarray(v_f), np.asarray(v_u))
+    np.testing.assert_array_equal(np.asarray(g_f), np.asarray(g_u))
+    np.testing.assert_array_equal(np.asarray(w_f), np.asarray(w_u))
+    for a, b in zip(fs_f, fs_u):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 @pytest.mark.parametrize("mode", ["exact", "fast"])
 def test_graph_reuse_wins_roundtrip(mode):
     """emit_wins -> wins_in on the SAME inputs reproduces the normal round
