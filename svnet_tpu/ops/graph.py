@@ -58,23 +58,33 @@ def gather_neighbors(x: jax.Array, idx: jax.Array) -> jax.Array:
 
 
 def get_graph_feature(
-    points: jax.Array, k: int, idx: jax.Array | None = None
+    points: jax.Array, k: int, idx: jax.Array | None = None,
+    first: bool = False,
 ) -> jax.Array:
     """First-layer vector edge features from raw coordinates.
 
-    ref: sv_util.py:28-62 (default ``first=False`` path, the only one used).
+    ref: sv_util.py:28-62. ``first=False`` (the default, and the only path
+    any reference model calls) emits [nbr - ctr, ctr]; ``first=True`` is
+    the reference's layer-0 variant (branch at sv_util.py:55-58) emitting
+    [nbr - ctr, mean_k(nbr - ctr)] — the centre channel is replaced by the
+    edge-mean so layer 0 sees only translation-invariant quantities.
 
     Args:
       points: (B, N, 3).
 
     Returns:
-      v: (B, N, k, 3, 2) with channels [neighbour - center, center].
+      v: (B, N, k, 3, 2) with channels [neighbour - center, center] or,
+      with ``first``, [neighbour - center, mean_k(neighbour - center)].
     """
     if idx is None:
         idx = knn(points, k)
     nbr = gather_neighbors(points, idx)  # (B, N, k, 3)
     ctr = jnp.broadcast_to(points[:, :, None, :], nbr.shape)
-    return jnp.stack([nbr - ctr, ctr], axis=-1)
+    diff = nbr - ctr
+    if first:
+        mean = jnp.broadcast_to(jnp.mean(diff, axis=2, keepdims=True), diff.shape)
+        return jnp.stack([diff, mean], axis=-1)
+    return jnp.stack([diff, ctr], axis=-1)
 
 
 def get_graph_feature_cross(

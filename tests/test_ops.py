@@ -73,6 +73,30 @@ class TestGraphFeatures:
                 self_slot = list(idx[b, n]).index(n)
                 np.testing.assert_allclose(diff[b, n, self_slot], 0.0, atol=1e-6)
 
+    def test_get_graph_feature_first_variant(self):
+        """ref sv_util.py:55-58 (``first=True``): channel 1 becomes the
+        k-mean of the diff channel, making layer 0 translation-invariant."""
+        pts = jax.random.normal(KEY, (2, 32, 3))
+        v0 = ops.get_graph_feature(pts, k=6)
+        v1 = ops.get_graph_feature(pts, k=6, first=True)
+        assert v1.shape == (2, 32, 6, 3, 2)
+        np.testing.assert_allclose(
+            np.asarray(v1[..., 0]), np.asarray(v0[..., 0]), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(v1[..., 1]),
+            np.broadcast_to(
+                np.asarray(v0[..., 0]).mean(axis=2, keepdims=True),
+                (2, 32, 6, 3),
+            ),
+            rtol=1e-5, atol=1e-6,
+        )
+        # translation invariance (the point of the variant)
+        vt = ops.get_graph_feature(pts + 5.0, k=6, first=True)
+        np.testing.assert_allclose(
+            np.asarray(vt), np.asarray(v1), rtol=1e-4, atol=1e-5
+        )
+
     def test_cross_feature(self):
         pts = jax.random.normal(KEY, (1, 16, 3))
         v = ops.get_graph_feature_cross(pts, k=4)
