@@ -122,7 +122,18 @@ def main():
              "(config.set_reuse_gather_window; bitwise-identical output, "
              "engine Morton-sorts internally; needs --graph-reuse)",
     )
+    ap.add_argument(
+        "--reuse-k", type=int, default=None,
+        help="neighbour ranks consumed by graph-reuse rounds "
+             "(config.set_reuse_k; rank-major nearest-first slice — "
+             "k-subsampling semantics, certify on a trained checkpoint; "
+             "needs --graph-reuse)",
+    )
     args = ap.parse_args()
+    if args.reuse_k is not None:
+        from svnet_tpu import config
+
+        config.set_reuse_k(args.reuse_k)
     if args.reuse_gather_window is not None:
         from svnet_tpu import config
 
@@ -277,7 +288,7 @@ def main():
         and not args.fast_gather_bits and not args.exact_selection
         and args.rounds_impl == "round3" and not args.window
         and not args.surface and args.block_matmul in (None, "bf16")
-        and args.reuse_gather_window is None
+        and args.reuse_gather_window is None and args.reuse_k is None
     ):
         from svnet_tpu import config as _cfg
 
@@ -349,6 +360,8 @@ def main():
         out["fast_gather_bits"] = args.fast_gather_bits
     if args.reuse_gather_window:
         out["reuse_gather_window"] = args.reuse_gather_window
+    if args.reuse_k:
+        out["reuse_k"] = args.reuse_k
     print(json.dumps(out))
 
 

@@ -116,6 +116,14 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
              "feature-space graph; spatial = all rounds reuse the xyz graph",
     )
     p.add_argument(
+        "--reuse-k", type=int, default=0, metavar="R",
+        help="neighbour ranks consumed by graph-reuse rounds "
+             "(config.set_reuse_k; rank-major nearest-first slice = "
+             "running reuse rounds at k=R — k-subsampling semantics, "
+             "certify with --test --fused before serving; needs "
+             "--graph-reuse; 0 = off)",
+    )
+    p.add_argument(
         "--morton-entry", action="store_true",
         help="Morton-sort clouds at fused-engine entry "
              "(config.set_morton_entry; exact — cls pooling is "

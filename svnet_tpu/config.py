@@ -219,6 +219,29 @@ def set_reuse_gather_window(width: int) -> None:
     _invalidate()
 
 
+reuse_k: int = 0  # 0 = off; neighbour ranks consumed by graph-reuse rounds
+
+
+def set_reuse_k(r: int) -> None:
+    """Serving knob (trace-time; round3 engines, requires
+    config.graph_reuse != 'none'): graph-reuse rounds consume only the
+    nearest ``r`` of the k cached neighbour ranks. Winner ids are emitted
+    rank-major (rank 0 = nearest), so slicing ranks [0, r) is exactly
+    running those rounds at k=r on the reused graph — the max-pool sees
+    the r nearest neighbours, the edge-mean averages over r edges.
+
+    Physics: a reuse round's cost is ~75% one-hot gather (PERF.md r3.3)
+    and the gather's mask-build + MXU cost are both LINEAR in the rank
+    count, so r = k/2 cuts the serving composition's dominant phase
+    nearly in half. Semantics: k-subsampling — the route BASELINE.md
+    names as a model-semantics change. Certify on a trained checkpoint
+    (--test --fused with the knob) before serving; 0 disables."""
+    global reuse_k
+    assert r >= 0, r
+    reuse_k = r
+    _invalidate()
+
+
 exact_selection: str = "update"  # 'update' | 'pair' | 'fused'
 
 

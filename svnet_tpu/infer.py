@@ -330,17 +330,23 @@ class SVDGCNNClsEngine:
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])  # (B, 10)
         v1 = v1 * jnp.tile(g, (1, 3))[:, :, None]
 
+        rk = config.reuse_k  # reuse rounds consume the nearest rk ranks
         outs = [(s1, v1)]
         for name, (S, V, S_out, V_out) in _ROUNDS.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in], axis=1)  # (B, C, N)
             emit = reuse == "conv2" and name == "conv2"
+            w_in = wins
+            kk = k
+            if wins is not None and 0 < rk < k:
+                w_in = wins[:, :rk]  # rank-major: ranks [0, rk) = nearest
+                kk = rk
             res = sv_round3(
                 joint, self.folded[name],
-                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                S=S, V=V, S_out=S_out, V_out=V_out, k=kk,
                 binary=self.binary, mode=self.mode,
                 interpret=self.interpret, window=self.window,
-                wins_in=wins, emit_wins=emit, cm=True,
+                wins_in=w_in, emit_wins=emit, cm=True,
                 gather_window=(config.reuse_gather_window
                                if wins is not None else 0),
             )
@@ -649,17 +655,23 @@ class SVDGCNNPsegEngine:
         g = jax.nn.sigmoid(g @ p["conv1"]["gate_fc2"]["kernel"])
         v1 = v1 * jnp.tile(g, (1, 3))[:, :, None]
 
+        rk = config.reuse_k  # reuse rounds consume the nearest rk ranks
         outs = [(s1, v1)]
         for name, (S, V, S_out, V_out) in self.rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in], axis=1)  # (B, C, N)
             emit = reuse == "conv2" and name == "conv2"
+            w_in = wins
+            kk = k
+            if wins is not None and 0 < rk < k:
+                w_in = wins[:, :rk]  # rank-major: ranks [0, rk) = nearest
+                kk = rk
             res = sv_round3(
                 joint, self.folded[name],
-                S=S, V=V, S_out=S_out, V_out=V_out, k=k,
+                S=S, V=V, S_out=S_out, V_out=V_out, k=kk,
                 binary=self.binary, mode=self.mode,
                 interpret=self.interpret, window=self.window,
-                wins_in=wins, emit_wins=emit, cm=True,
+                wins_in=w_in, emit_wins=emit, cm=True,
                 gather_window=(config.reuse_gather_window
                                if wins is not None else 0),
             )

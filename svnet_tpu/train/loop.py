@@ -183,6 +183,8 @@ def _apply_approx_knobs(args) -> None:
         config.set_fast_gather_bits(args.fast_gather_bits)
     if getattr(args, "graph_reuse", "none") != "none":
         config.set_graph_reuse(args.graph_reuse)
+    if getattr(args, "reuse_k", 0):
+        config.set_reuse_k(args.reuse_k)
     if getattr(args, "morton_entry", False):
         config.set_morton_entry(True)
 

@@ -113,8 +113,15 @@ def test_engine_graph_reuse_smoke():
             config.set_graph_reuse(mode)
             got = np.asarray(eng(points))
             assert got.shape == base.shape and np.isfinite(got).all(), mode
+        # reuse_k: reuse rounds consume only the nearest K//2 ranks
+        # (kernel-level bitwise contract proven in
+        # test_sv_round3.py::test_reuse_k_prefix_equals_small_k)
+        config.set_reuse_k(K // 2)
+        got = np.asarray(eng(points))
+        assert got.shape == base.shape and np.isfinite(got).all(), "reuse_k"
     finally:
         config.set_graph_reuse("none")
+        config.set_reuse_k(0)
     np.testing.assert_array_equal(np.asarray(eng(points)), base)
 
 

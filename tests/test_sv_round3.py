@@ -433,6 +433,31 @@ def test_reuse_gather_window_bitwise():
 
 
 @pytest.mark.parametrize("mode", ["exact", "fast"])
+def test_reuse_k_prefix_equals_small_k(mode):
+    """config.reuse_k semantics (engine slices wins[:, :r] and runs reuse
+    rounds at k=r): winner ids are emitted rank-major with deterministic
+    min-row-id tie-breaking, so the first r ranks of a k=K emit ARE the
+    k=r emit, and a reuse round fed that slice is BITWISE a fresh round
+    run at k=r. This is the kernel-level contract the infer.py plumbing
+    relies on (k-subsampling serving knob, BASELINE.md's named
+    model-semantics route)."""
+    N2, K2, R2 = 64, 8, 3
+    src = jax.random.normal(jax.random.PRNGKey(11), (B, N2, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(12))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, T=N2, R=4,
+              binary=True, mode=mode, interpret=True)
+
+    wins_k = sv_round3(src, folded, k=K2, emit_wins=True, **kw)[3]
+    *base_r, wins_r = sv_round3(src, folded, k=R2, emit_wins=True, **kw)
+    np.testing.assert_array_equal(
+        np.asarray(wins_k[:, :R2]), np.asarray(wins_r)
+    )
+    reuse_r = sv_round3(src, folded, k=R2, wins_in=wins_k[:, :R2], **kw)
+    for a, b in zip(base_r, reuse_r):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("mode", ["exact", "fast"])
 def test_round_block_matmul_int8_bitwise(mode):
     """config.round_block_matmul='int8' is value-identical to the bf16
     path: ±1 products are exact in both and the int32 sums stay far below
