@@ -77,3 +77,42 @@ class TestLoader:
         a = [b["target"].tolist() for b in Loader(_ToyDataset(16), 4, shuffle=True, seed=7)]
         b = [b["target"].tolist() for b in Loader(_ToyDataset(16), 4, shuffle=True, seed=7)]
         assert a == b
+
+
+class TestSyntheticGenerators:
+    """The egress-free benchmark generators (tools/make_synthetic*.py)
+    keep producing structurally valid clouds — every partseg pid inside
+    its category's ShapeNetPart part range, normalized unit-sphere
+    coordinates, exact requested shapes."""
+
+    def _tools(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "make_synthetic_partseg",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_synthetic_partseg.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_partseg_clouds_valid(self):
+        mp = self._tools()
+        rng = np.random.default_rng(0)
+        for cat in range(16):
+            # uncorrupted: every declared part present
+            p0, pid0 = mp.make_cloud(rng, cat, hard=False)
+            assert len(np.unique(pid0)) == mp.SEG_NUM[cat], cat
+            # hardened: occlusion may legally remove a small part
+            # (calculate_shape_IoU's empty-union => IoU=1 handles it)
+            p, pid = mp.make_cloud(rng, cat, hard=True)
+            assert p.shape == (mp.NPTS, 3) and p.dtype == np.float32
+            assert pid.shape == (mp.NPTS,)
+            lo = mp.INDEX_START[cat]
+            hi = lo + mp.SEG_NUM[cat]
+            assert pid.min() >= lo and pid.max() < hi
+            assert len(np.unique(pid)) >= max(2, mp.SEG_NUM[cat] - 1), cat
+            r = np.linalg.norm(p, axis=1)
+            assert abs(r.max() - 1.0) < 1e-5 and np.isfinite(p).all()
