@@ -41,11 +41,12 @@ class SV_DGCNN_CLS(nn.Module):
     num_classes: int = 40
     k: int = 20
     binary: bool = False
+    dropout: float = 0.5  # head dropout for the FP model (ref :45,:49)
 
     @nn.compact
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         B = points.shape[0]
-        p_drop = 0.0 if self.binary else 0.5
+        p_drop = 0.0 if self.binary else self.dropout
 
         v = ops.get_graph_feature(points, k=self.k)  # (B, N, k, 3, 2)
         s = svl.Vector2Scalar(3, name="init_scalar")(v, train)  # (B, N, k, 6)

@@ -36,6 +36,14 @@ BN_MOM = 0.9
 BN_EPS = 1e-5
 
 
+def _dropout(rng, x, rate):
+    """flax nn.Dropout train twin (inverted dropout). The mask stream is
+    this module's own (split from the step rng) — dropout is noise, so
+    mask-level parity with the flax path is neither possible nor needed."""
+    keep = jax.random.bernoulli(rng, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), 0.0)
+
+
 def _bn_train(p, st, x):
     """torch-BN1d train twin: normalize with biased batch stats over all
     leading axes; returns (y, new running stats)."""
@@ -115,22 +123,22 @@ def _svblock_train(p, st, x, binary):
 
 
 def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
-                           interpret: bool = False):
+                           interpret: bool = False, dropout: float = 0.5):
     """Returns apply(params, batch_stats, points, dropout_rng) ->
     (logits, new_batch_stats), the fused twin of SV_DGCNN_CLS train mode.
 
     Dropout note: the reference uses p=0 for binary models (ref
-    sv_dgcnn_cls.py:27), which is the supported configuration here; the
-    FP model keeps the flax path.
+    sv_dgcnn_cls.py:27); the FP model's p=0.5 head dropout (ref :45,:49)
+    runs here from the step rng when one is passed (r4 — the FP fused
+    path; rng=None skips dropout, which the parity tests use).
     """
-    assert binary, "fused train apply currently covers the binary flagship"
     rounds = {
         "conv2": (64 // 2, 64 // 6, 64 // 2, 64 // 6),
         "conv3": (64 // 2, 64 // 6, 128 // 2, 128 // 6),
         "conv4": (128 // 2, 128 // 6, 256 // 2, 256 // 6),
     }
     fused = {
-        name: make_fused_round(S, V, So, Vo, k, binary=True,
+        name: make_fused_round(S, V, So, Vo, k, binary=binary,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
@@ -181,23 +189,30 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
         v_c = jnp.concatenate([o[1] for o in outs], axis=-1)
 
         (s5, v5), upd5 = _svblock_train(
-            p["conv5"], bs["conv5"], (s_c, v_c), binary=True
+            p["conv5"], bs["conv5"], (s_c, v_c), binary=binary
         )
         new_stats["conv5"] = upd5
         x = jnp.concatenate(
-            [s5, _v2s_train(p["svfuse"]["v2s"], v5, True)], axis=-1
+            [s5, _v2s_train(p["svfuse"]["v2s"], v5, binary)], axis=-1
         )
 
         x = jnp.concatenate([jnp.max(x, axis=1), jnp.mean(x, axis=1)],
                             axis=-1)
-        x = _linear_train(p["linear1"], x, True, True)
+        drop = (not binary) and rng is not None and dropout > 0.0
+        if drop:
+            d1, d2 = jax.random.split(rng)
+        x = _linear_train(p["linear1"], x, binary, binary)
         x, n1 = _bn_train(p["bn1"]["bn"], bs["bn1"]["bn"], x)
         new_stats["bn1"] = {"bn": n1}
         x = jax.nn.leaky_relu(x, negative_slope=0.2)
-        x = _linear_train(p["linear2"], x, True, True)
+        if drop:
+            x = _dropout(d1, x, dropout)
+        x = _linear_train(p["linear2"], x, binary, binary)
         x, n2 = _bn_train(p["bn2"]["bn"], bs["bn2"]["bn"], x)
         new_stats["bn2"] = {"bn": n2}
         x = jax.nn.leaky_relu(x, negative_slope=0.2)
+        if drop:
+            x = _dropout(d2, x, dropout)
         logits = _linear_train(p["linear3"], x, False, False)
         return logits, new_stats
 
@@ -205,7 +220,8 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
 
 
 def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
-                                interpret: bool = False):
+                                interpret: bool = False,
+                                dropout: float = 0.5):
     """Returns apply(params, batch_stats, points, label, dropout_rng) ->
     (logits, new_batch_stats), the fused twin of SV_DGCNN_PSEG train mode
     (models/sv_dgcnn.py:111-179; ref sv_dgcnn_partseg.py:40-128).
@@ -214,9 +230,9 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
     custom-VJP fused round at N=2048/k=40 shapes; the partseg tail — conv5/
     conv6, the three SVFuse taps, the 16->64 label branch and the conv8-11
     pointwise head — runs as XLA train twins. Dropout is p=0 for binary
-    models (ref sv_dgcnn_partseg.py:30), the supported configuration here.
+    models (ref sv_dgcnn_partseg.py:30); the FP head's p=0.5 dropout after
+    conv8/conv9 runs from the step rng when one is passed (r4).
     """
-    assert binary, "fused train apply currently covers the binary flagship"
     # make_divisible(8)-rounded partseg widths (models/sv_dgcnn.py:137-150)
     rounds = {
         "conv2": (32, 16, 32, 16),
@@ -224,7 +240,7 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
         "conv4": (64, 24, 128, 40),
     }
     fused = {
-        name: make_fused_round(S, V, So, Vo, k, binary=True,
+        name: make_fused_round(S, V, So, Vo, k, binary=binary,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
@@ -275,25 +291,25 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
 
         # per-point fine features: svfuse1 tap on the skip-concat
         x_fine = jnp.concatenate(
-            [s_c, _v2s_train(p["svfuse1"]["v2s"], v_c, True)], axis=-1
+            [s_c, _v2s_train(p["svfuse1"]["v2s"], v_c, binary)], axis=-1
         )
 
         # embedding: conv5 -> (pool over N -> conv6 -> svfuse2) global tap
         # and a per-point svfuse3 -> max-over-N tap
         (s5, v5), upd5 = _svblock_train(
-            p["conv5"], bs["conv5"], (s_c, v_c), binary=True
+            p["conv5"], bs["conv5"], (s_c, v_c), binary=binary
         )
         new_stats["conv5"] = upd5
         sp, vp = ops.svpool((s5, v5), axis=1, keepdims=True)
         (s6, v6), upd6 = _svblock_train(
-            p["conv6"], bs["conv6"], (sp, vp), binary=True
+            p["conv6"], bs["conv6"], (sp, vp), binary=binary
         )
         new_stats["conv6"] = upd6
         x_pool = jnp.concatenate(
-            [s6, _v2s_train(p["svfuse2"]["v2s"], v6, True)], axis=-1
+            [s6, _v2s_train(p["svfuse2"]["v2s"], v6, binary)], axis=-1
         )  # (B, 1, ·)
         x_sf3 = jnp.concatenate(
-            [s5, _v2s_train(p["svfuse3"]["v2s"], v5, True)], axis=-1
+            [s5, _v2s_train(p["svfuse3"]["v2s"], v5, binary)], axis=-1
         )
         x_max = jnp.max(x_sf3, axis=1, keepdims=True)  # (B, 1, ·)
 
@@ -307,12 +323,18 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
         g = jnp.broadcast_to(g, (B, N, g.shape[-1]))
         x = jnp.concatenate([g, x_fine], axis=-1)
 
-        # binarizable pointwise head (dropout p=0 in the binary config)
-        for name in ("conv8", "conv9", "conv10"):
-            x = _linear_train(p[name]["conv"], x, True, True)
+        # binarizable pointwise head (dropout p=0 in the binary config;
+        # FP: p=0.5 after conv8 and conv9 — models/sv_dgcnn.py:174-177)
+        drop = (not binary) and rng is not None and dropout > 0.0
+        if drop:
+            dkeys = jax.random.split(rng)
+        for i, name in enumerate(("conv8", "conv9", "conv10")):
+            x = _linear_train(p[name]["conv"], x, binary, binary)
             x, nc = _bn_train(p[name]["bn"], bs[name]["bn"], x)
             new_stats[name] = {"bn": nc}
             x = jax.nn.leaky_relu(x, negative_slope=0.2)
+            if drop and i < 2:
+                x = _dropout(dkeys[i], x, dropout)
         logits = _linear_train(p["conv11"], x, False, False)
         return logits, new_stats
 

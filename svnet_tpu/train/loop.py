@@ -59,6 +59,8 @@ def _build_cls_model(args, num_classes: int):
     kw = dict(num_classes=num_classes, k=args.k)
     if args.model == "svnet":
         kw["binary"] = args.binary
+        if args.backbone == "dgcnn":
+            kw["dropout"] = args.dropout
     if args.model == "vn":
         kw["pooling"] = args.pooling
     return models.get_model("cls", args.backbone, args.model, **kw)
@@ -298,14 +300,14 @@ def run_cls(args) -> Optional[float]:
         config.fused_train != "off"
         and args.model == "svnet"
         and args.backbone == "dgcnn"
-        and args.binary
         and (config.fused_train == "on" or jax.default_backend() == "tpu")
     ):
         from svnet_tpu.train.fused import make_fused_train_apply
 
         fused_apply = make_fused_train_apply(
-            num_classes, args.k, binary=True,
+            num_classes, args.k, binary=args.binary,
             interpret=jax.default_backend() != "tpu",
+            dropout=args.dropout,
         )
         log_string("fused Pallas train forward enabled")
     if distiller is None:
@@ -721,14 +723,14 @@ def run_partseg(args) -> Optional[float]:
         config.fused_train != "off"
         and args.model == "svnet"
         and args.backbone == "dgcnn"
-        and args.binary
         and (config.fused_train == "on" or jax.default_backend() == "tpu")
     ):
         from svnet_tpu.train.fused import make_fused_train_apply_pseg
 
         fused_apply = make_fused_train_apply_pseg(
-            50, args.k, binary=True,
+            50, args.k, binary=args.binary,
             interpret=jax.default_backend() != "tpu",
+            dropout=args.dropout,
         )
         log_string("fused Pallas train forward enabled")
     if distiller is None:

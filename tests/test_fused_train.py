@@ -97,10 +97,14 @@ def test_fused_round_grad_parity(binary):
 
 @pytest.mark.slow  # full-model interpret parity, ~2 min on the 1-CPU box;
 # the per-kernel grad/logit parity tests above stay in the default run
-def test_fused_model_apply_parity():
+@pytest.mark.parametrize("binary", [True, False])
+def test_fused_model_apply_parity(binary):
     from svnet_tpu.train.fused import make_fused_train_apply
 
-    model = models.SV_DGCNN_CLS(num_classes=10, k=K, binary=True)
+    # FP leg: dropout=0.0 so the stochastic masks drop out of the parity
+    # comparison (the fused twin skips dropout when rng is None)
+    model = models.SV_DGCNN_CLS(num_classes=10, k=K, binary=binary,
+                                dropout=0.0)
     points = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
     variables = model.init(jax.random.PRNGKey(1), points)
     params, bs = variables["params"], variables["batch_stats"]
@@ -115,7 +119,8 @@ def test_fused_model_apply_parity():
         )
         return jnp.mean((out - onehot) ** 2), (out, upd["batch_stats"])
 
-    fused_apply = make_fused_train_apply(10, K, binary=True, interpret=True)
+    fused_apply = make_fused_train_apply(10, K, binary=binary,
+                                         interpret=True)
 
     def fused_loss(params, pts):
         out, new_bs = fused_apply(params, bs, pts)
@@ -126,8 +131,11 @@ def test_fused_model_apply_parity():
     (l2, (o2, bs2)), g2 = jax.value_and_grad(
         fused_loss, argnums=(0, 1), has_aux=True)(params, points)
 
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
-                               rtol=2e-4, atol=2e-4)
+    # FP: per-round batch stats agree to ~1e-8 but tiny-batch BN (B=2)
+    # amplifies f32 reassociation ulps through the head (~4e-4 abs);
+    # binary arithmetic is exact so the tight tolerance stands.
+    tol = dict(rtol=2e-4, atol=2e-4) if binary else dict(rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **tol)
     # flip-tolerant: relative Frobenius error per tensor. Isolated STE
     # sign flips (ulp reassociation at a sign boundary) perturb a few
     # entries and cascade tiny shifts downstream; a systematic gradient
@@ -141,7 +149,13 @@ def test_fused_model_apply_parity():
             AssertionError(f"stats mismatch {rel_err(a, b)}")),
         bs2, bs1,
     )
-    assert rel_err(g2[1], g1[1]) <= 2e-2
+    # dpoints: FP forward drift (see above) flips global-max argmax /
+    # lrelu boundaries, re-routing isolated per-point gradients; direction
+    # must agree tightly either way.
+    a, b = np.asarray(g2[1]).ravel(), np.asarray(g1[1]).ravel()
+    cos_p = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos_p >= 0.99, cos_p
+    assert rel_err(g2[1], g1[1]) <= (2e-2 if binary else 2e-1)
     flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
     # per-tensor: cosine similarity (flips at the sign/clip boundaries
     # perturb isolated entries; a wrong formula decorrelates the tensor).
@@ -161,15 +175,24 @@ def test_fused_model_apply_parity():
             assert cos >= 0.9, (jax.tree_util.keystr(path), cos)
     a = np.concatenate(allg2)
     b = np.concatenate(allg1)
-    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2
+    # FP leg: the B=2 head BN is ill-conditioned (batch stats over 2
+    # samples normalize to exactly +-1); a measured 1e-4 input drift moves
+    # the head gradient ~4%, and the trunk's accumulated f32 reassociation
+    # drift is that size — verified by stage bisection (trunk grads match
+    # to 2e-4 and the isolated head to 7e-4; only the composition at the
+    # real operating point amplifies). Binary arithmetic is exact.
+    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= (
+        5e-2 if binary else 2e-1)
 
 
 @pytest.mark.slow  # full partseg model interpret parity (~minutes on CPU);
 # the per-kernel grad/logit parity tests above stay in the default run
-def test_fused_pseg_model_apply_parity():
+@pytest.mark.parametrize("binary", [True, False])
+def test_fused_pseg_model_apply_parity(binary):
     from svnet_tpu.train.fused import make_fused_train_apply_pseg
 
-    model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=True)
+    model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=binary,
+                                 dropout=0.0)
     points = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
     label = jax.nn.one_hot(jnp.arange(B) % 16, 16)
     variables = model.init(jax.random.PRNGKey(1), points, label)
@@ -185,7 +208,7 @@ def test_fused_pseg_model_apply_parity():
         )
         return jnp.mean((out - onehot) ** 2), (out, upd["batch_stats"])
 
-    fused_apply = make_fused_train_apply_pseg(50, K, binary=True,
+    fused_apply = make_fused_train_apply_pseg(50, K, binary=binary,
                                               interpret=True)
 
     def fused_loss(params, pts):
@@ -197,8 +220,8 @@ def test_fused_pseg_model_apply_parity():
     (l2, (o2, bs2)), g2 = jax.value_and_grad(
         fused_loss, argnums=(0, 1), has_aux=True)(params, points)
 
-    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1),
-                               rtol=2e-4, atol=2e-4)
+    tol = dict(rtol=2e-4, atol=2e-4) if binary else dict(rtol=5e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), **tol)
 
     def rel_err(a, b):
         a, b = np.asarray(a), np.asarray(b)
@@ -209,7 +232,10 @@ def test_fused_pseg_model_apply_parity():
             AssertionError(f"stats mismatch {rel_err(a, b)}")),
         bs2, bs1,
     )
-    assert rel_err(g2[1], g1[1]) <= 2e-2
+    a, b = np.asarray(g2[1]).ravel(), np.asarray(g1[1]).ravel()
+    cos_p = float(np.dot(a, b) / (np.linalg.norm(a) * np.linalg.norm(b)))
+    assert cos_p >= 0.99, cos_p
+    assert rel_err(g2[1], g1[1]) <= (2e-2 if binary else 2e-1)
     flat2 = dict(jax.tree_util.tree_leaves_with_path(g2[0]))
     allg1, allg2 = [], []
     for path, leaf in jax.tree_util.tree_leaves_with_path(g1[0]):
@@ -223,7 +249,9 @@ def test_fused_pseg_model_apply_parity():
             assert cos >= 0.9, (jax.tree_util.keystr(path), cos)
     a = np.concatenate(allg2)
     b = np.concatenate(allg1)
-    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= 5e-2
+    # see the cls twin above for the FP-tolerance rationale
+    assert np.linalg.norm(a - b) / (np.linalg.norm(b) + 1e-6) <= (
+        5e-2 if binary else 2e-1)
 
 
 def test_fused_first_round_grad_parity():

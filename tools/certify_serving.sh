@@ -3,19 +3,23 @@
 # r3.4): evaluates one checkpoint through the fused engine at each serving
 # configuration and greps the IoU/acc lines. Usage:
 #   sh tools/certify_serving.sh partseg /root/synth_pseg/runs/bin/save_models/model_best.ckpt /root/synth_pseg
-#   sh tools/certify_serving.sh cls     /root/synth_v2/runs/bin/save_models/model_best.ckpt   /root/synth_v2
+#   sh tools/certify_serving.sh cls     /root/synth_v2/runs/bin100/save_models/model_best.ckpt /root/synth_v2
 set -e
 TASK=$1; CKPT=$2; DATA=$3
-if [ "$TASK" = partseg ]; then
-  DRIVER=svnet_tpu.cli.main_partseg_dgcnn; FOLD="--approx-fold 512"; K=40
-else
-  DRIVER=svnet_tpu.cli.main_cls_dgcnn; FOLD=""; K=20
-fi
+case "$TASK" in
+  partseg) DRIVER=svnet_tpu.cli.main_partseg_dgcnn; FOLD="--approx-fold 512"; K=40 ;;
+  cls)     DRIVER=svnet_tpu.cli.main_cls_dgcnn;     FOLD="";                  K=20 ;;
+  *) echo "usage: sh tools/certify_serving.sh {cls|partseg} CKPT DATADIR" >&2; exit 2 ;;
+esac
+if [ ! -e "$CKPT" ]; then echo "checkpoint not found: $CKPT" >&2; exit 2; fi
 run() {
   echo "=== $*"
+  # Run to a log first so a crashed eval aborts the certification (a bare
+  # pipeline would let `set -e` see only the tail exit status).
   python -m $DRIVER --model svnet --binary --data-dir "$DATA" \
-    --save-dir /tmp/certify_$TASK --test "$CKPT" --fused "$@" 2>&1 \
-    | grep -Ei "test.*(acc|iou)" | tail -2
+    --save-dir /tmp/certify_$TASK --test "$CKPT" --fused "$@" \
+    > /tmp/certify_${TASK}_run.log 2>&1 || { cat /tmp/certify_${TASK}_run.log >&2; exit 1; }
+  grep -Ei "test.*(acc|iou)" /tmp/certify_${TASK}_run.log | tail -2
 }
 run --engine-mode exact
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse spatial
