@@ -176,53 +176,62 @@ def main():
 
     from svnet_tpu import models
 
-    def make_points():
+    def make_points(batch, num_points):
         if not args.surface:
             return jax.random.normal(
-                jax.random.PRNGKey(0), (args.batch, args.num_points, 3)
+                jax.random.PRNGKey(0), (batch, num_points, 3)
             )
         from svnet_tpu.utils.synth import morton_sorted_surface_clouds
 
-        return morton_sorted_surface_clouds(0, args.batch, args.num_points)
+        return morton_sorted_surface_clouds(0, batch, num_points)
 
     dgcnn = args.arch == "dgcnn"
-    if args.task == "cls":
-        if dgcnn:
-            from svnet_tpu.infer import SVDGCNNClsEngine as Engine
 
-            model = models.SV_DGCNN_CLS(num_classes=40, k=args.k, binary=True)
+    def build_task(task, batch, num_points, k):
+        """(Engine, variables, ex_args, flax_fwd) for one task's shapes."""
+        if task == "cls":
+            if dgcnn:
+                from svnet_tpu.infer import SVDGCNNClsEngine as Engine
+
+                model = models.SV_DGCNN_CLS(num_classes=40, k=k, binary=True)
+            else:
+                from svnet_tpu.infer import SVPointNetClsEngine as Engine
+
+                model = models.SV_PointNet_CLS(
+                    num_classes=40, k=k, binary=True
+                )
+            points = make_points(batch, num_points)
+            variables = jax.jit(model.init)(jax.random.PRNGKey(1), points)
+            ex_args = (points,)
+            flax_fwd = lambda *a: model.apply(variables, a[0], False)
         else:
-            from svnet_tpu.infer import SVPointNetClsEngine as Engine
+            if dgcnn:
+                from svnet_tpu.infer import SVDGCNNPsegEngine as Engine
 
-            model = models.SV_PointNet_CLS(
-                num_classes=40, k=args.k, binary=True
+                model = models.SV_DGCNN_PSEG(num_part=50, k=k, binary=True)
+            else:
+                from svnet_tpu.infer import SVPointNetPsegEngine as Engine
+
+                model = models.SV_PointNet_PSEG(
+                    num_part=50, k=k, binary=True
+                )
+            points = make_points(batch, num_points)
+            label = jax.nn.one_hot(
+                jnp.arange(batch) % 16, 16, dtype=jnp.float32
             )
-        points = make_points()
-        variables = jax.jit(model.init)(jax.random.PRNGKey(1), points)
-        ex_args = (points,)
-        flax_fwd = lambda *a: model.apply(variables, a[0], False)
-    else:
-        if dgcnn:
-            from svnet_tpu.infer import SVDGCNNPsegEngine as Engine
-
-            model = models.SV_DGCNN_PSEG(num_part=50, k=args.k, binary=True)
-        else:
-            from svnet_tpu.infer import SVPointNetPsegEngine as Engine
-
-            model = models.SV_PointNet_PSEG(
-                num_part=50, k=args.k, binary=True
+            variables = jax.jit(model.init)(
+                jax.random.PRNGKey(1), points, label
             )
-        points = make_points()
-        label = jax.nn.one_hot(
-            jnp.arange(args.batch) % 16, 16, dtype=jnp.float32
-        )
-        variables = jax.jit(model.init)(jax.random.PRNGKey(1), points, label)
-        ex_args = (points, label)
-        flax_fwd = lambda *a: model.apply(variables, a[0], a[1], False)
+            ex_args = (points, label)
+            flax_fwd = lambda *a: model.apply(variables, a[0], a[1], False)
+        return Engine, variables, ex_args, flax_fwd
 
-    def make_timed(engine_kind, mode):
+    main_task = build_task(args.task, args.batch, args.num_points, args.k)
+
+    def make_timed(engine_kind, mode, task_built, k):
+        Engine, variables, ex_args, flax_fwd = task_built
         if engine_kind == "fused":
-            kw = dict(k=args.k, binary=True, mode=mode)
+            kw = dict(k=k, binary=True, mode=mode)
             if dgcnn:  # pointnet engines take neither rounds_impl nor window
                 kw.update(rounds_impl=args.rounds_impl, window=args.window)
             eng = Engine(variables, **kw)
@@ -245,26 +254,35 @@ def main():
 
         return timed
 
-    def measure(mode):
+    def measure(mode, task_built=None, batch=None, k=None):
         # the remote-TPU tunnel occasionally drops a dispatch; retry, and
-        # (unless --strict) fall back to the plain XLA engine
+        # (unless --strict) fall back to the plain XLA engine.
+        # Returns (median clouds/s, engine kind, per-repeat spread dict).
+        task_built = task_built or main_task
+        batch = batch or args.batch
+        k = k or args.k
         fallbacks = [args.engine] if args.strict else [args.engine, "flax"]
         last_err = None
         for engine_kind in fallbacks:
             for attempt in range(3):
                 try:
-                    timed = make_timed(engine_kind, mode)
+                    timed = make_timed(engine_kind, mode, task_built, k)
                     float(timed())  # compile + warm
-                    times = []
+                    vals = []
                     for _ in range(args.repeats):
                         t0 = time.perf_counter()
                         float(timed())
-                        times.append(time.perf_counter() - t0)
-                    total_ms = statistics.median(times) * 1e3
-                    per_fwd_ms = max(
-                        (total_ms - ROUNDTRIP_MS) / (args.iters + 1), 1e-6
-                    )
-                    return args.batch / (per_fwd_ms / 1e3), engine_kind
+                        total_ms = (time.perf_counter() - t0) * 1e3
+                        per_fwd_ms = max(
+                            (total_ms - ROUNDTRIP_MS) / (args.iters + 1), 1e-6
+                        )
+                        vals.append(batch / (per_fwd_ms / 1e3))
+                    spread = {
+                        "stddev": round(statistics.pstdev(vals), 1),
+                        "min": round(min(vals), 1),
+                        "max": round(max(vals), 1),
+                    }
+                    return statistics.median(vals), engine_kind, spread
                 except Exception as e:  # pragma: no cover - transient tunnel
                     print(f"# bench attempt failed ({engine_kind}/{mode}): {e}")
                     last_err = e
@@ -272,8 +290,9 @@ def main():
 
     results = {}
     engines = {}
+    spreads = {}
     for mode in modes:
-        results[mode], engines[mode] = measure(mode)
+        results[mode], engines[mode], spreads[mode] = measure(mode)
 
     # serving-pick leg (knob-free DGCNN default runs only): the
     # accuracy-certified knob composition — approx selection (fold 512 at
@@ -281,7 +300,9 @@ def main():
     # table; certification in ACCURACY.md) — measured alongside the
     # parity modes so the driver-captured JSON carries the serving number.
     serving = None
-    if (
+    serving_spread = None
+    partseg_serving = None
+    knob_free_default = (
         args.engine == "fused" and dgcnn and not args.mode
         and (not args.graph_reuse or args.graph_reuse == "none")
         and not args.approx_fold and not args.approx_gather_bits
@@ -289,29 +310,53 @@ def main():
         and args.rounds_impl == "round3" and not args.window
         and not args.surface and args.block_matmul in (None, "bf16")
         and args.reuse_gather_window is None and args.reuse_k is None
-    ):
+    )
+    if knob_free_default:
         from svnet_tpu import config as _cfg
 
-        try:
+        def serving_knobs(task, num_points):
             _cfg.set_graph_reuse("spatial")
             _cfg.set_approx_gather_bits(8)
-            if args.num_points >= 4096:
+            if num_points >= 4096:
                 # winner-block compaction certifies ~0.53N/0.30N at
                 # N=4096/8192 (PERF.md r3.3); at bench shapes it cannot,
                 # and would only pay the keep prepass
-                _cfg.set_reuse_gather_window(args.num_points // 2)
-            if args.task == "partseg":
+                _cfg.set_reuse_gather_window(num_points // 2)
+            if task == "partseg":
                 _cfg.set_approx_fold(512)
-            v, ek = measure("approx")
-            if ek == "fused":
-                serving = round(v, 1)
-        except Exception as e:  # serving leg is additive — never fatal
-            print(f"# serving-pick leg skipped: {e}")
-        finally:
+
+        def reset_knobs():
             _cfg.set_graph_reuse("none")
             _cfg.set_approx_gather_bits(16)
             _cfg.set_reuse_gather_window(0)
             _cfg.set_approx_fold(256)
+
+        try:
+            serving_knobs(args.task, args.num_points)
+            v, ek, sp = measure("approx")
+            if ek == "fused":
+                serving, serving_spread = round(v, 1), sp
+        except Exception as e:  # serving leg is additive — never fatal
+            print(f"# serving-pick leg skipped: {e}")
+        finally:
+            reset_knobs()
+
+        # partseg serving rides along in the default cls JSON so the
+        # driver captures BOTH tasks' serving numbers every round
+        # (VERDICT r3 task 2; BASELINE.md partseg target 1,200)
+        if args.task == "cls":
+            try:
+                serving_knobs("partseg", 2048)
+                ps_built = build_task("partseg", 32, 2048, 40)
+                v, ek, sp = measure(
+                    "approx", task_built=ps_built, batch=32, k=40
+                )
+                if ek == "fused":
+                    partseg_serving = (round(v, 1), sp)
+            except Exception as e:
+                print(f"# partseg serving leg skipped: {e}")
+            finally:
+                reset_knobs()
 
     # headline: the accuracy-certified SERVING configuration when it was
     # measured (BASELINE.md's renegotiated target is defined for serving;
@@ -320,8 +365,10 @@ def main():
     head_mode = modes[0]
     if serving is not None:
         value, head_label = serving, "serving"
+        head_spread = serving_spread
     else:
         value, head_label = round(results[head_mode], 1), head_mode
+        head_spread = spreads[head_mode]
     out = {
         "metric": f"svnet_{args.arch}_binary_inference_{args.task}",
         "value": value,
@@ -335,11 +382,22 @@ def main():
         "engine": engines[head_mode],
         "mode": head_label,
         "engine_fallback": any(e != args.engine for e in engines.values()),
+        # per-repeat spread of the headline (VERDICT r3 weak #6: publish
+        # the band, not best-of-session)
+        "value_stddev": head_spread["stddev"],
+        "value_min": head_spread["min"],
+        "value_max": head_spread["max"],
     }
     if serving is not None:
         out[f"value_{head_mode}"] = round(results[head_mode], 1)
     for mode in modes[1:]:
         out[f"value_{mode}"] = round(results[mode], 1)
+    if partseg_serving is not None:
+        out["value_partseg_serving"] = partseg_serving[0]
+        out["value_partseg_serving_stddev"] = partseg_serving[1]["stddev"]
+        out["vs_target_partseg"] = round(
+            partseg_serving[0] / TARGET["partseg"], 4
+        )
     if serving is not None:
         out["serving_config"] = (
             "approx + 8-bit gathers + spatial graph reuse"

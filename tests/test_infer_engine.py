@@ -63,3 +63,19 @@ def test_engine_rotation_invariant_predictions():
     out = np.asarray(eng(points))
     out_r = np.asarray(eng(ops.rotate_points(points, R)))
     np.testing.assert_allclose(out_r, out, rtol=2e-2, atol=2e-3)
+
+
+def test_engine_approx_mode_order_invariant():
+    """The serving guarantee (r4, VERDICT r3 weak #7): approx mode
+    Morton-sorts at engine entry, so the certified recall regime holds
+    for ARBITRARY caller point order — shuffled input must produce the
+    same logits as sorted input (cls logits are permutation-invariant)."""
+    model, points, variables, _ = _setup(True)
+    eng = SVDGCNNClsEngine(
+        variables, num_classes=40, k=K, binary=True,
+        knn_impl="xla", interpret=True, mode="approx",
+    )
+    out1 = np.asarray(eng._forward(points))
+    perm = jax.random.permutation(jax.random.PRNGKey(7), N)
+    out2 = np.asarray(eng._forward(points[:, perm, :]))
+    np.testing.assert_allclose(out2, out1, rtol=1e-4, atol=1e-4)
