@@ -137,5 +137,9 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
     p.add_argument("--dp", type=int, default=1,
                    help="data-parallel device count (shards the batch over a"
                         " mesh; the TPU-native nn.DataParallel)")
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel device count (column-shards the"
+                        " wide kernels on the mesh's 'model' axis; composes"
+                        " with --dp as a dp x tp mesh)")
     p.set_defaults(backbone=backbone)
     return p

@@ -127,19 +127,38 @@ def _merge_overlap(student, teacher):
 
 
 def _setup_mesh(args, state):
-    """Data-parallel mesh (--dp): replicate the state, return a batch
-    sharding function. The TPU-native upgrade of the reference's
+    """Parallelism mesh (--dp x --tp): shard the state, return a batch
+    sharding function. --dp is the TPU-native upgrade of the reference's
     nn.DataParallel (SURVEY.md §2.8/§5.8): XLA inserts psum for grads and
-    global BN statistics over ICI."""
+    global BN statistics over ICI. --tp (r4) column-shards the wide
+    kernels (and their param-shaped optimizer moments) on the 'model'
+    axis — Megatron-style tensor parallelism for the conv5/head linears,
+    reachable from every driver."""
     dp = getattr(args, "dp", 1)
-    if dp <= 1:
+    tp = getattr(args, "tp", 1)
+    if dp <= 1 and tp <= 1:
         return state, lambda x: x
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
     from svnet_tpu import parallel
 
     assert args.batch_size % dp == 0, (args.batch_size, dp)
-    mesh = parallel.make_mesh(dp, model=1)
+    mesh = parallel.make_mesh(dp * tp, data=dp, model=tp)
     rep = parallel.replicated(mesh)
-    state = jax.tree.map(lambda x: jax.device_put(x, rep), state)
+
+    def rule(leaf):
+        # same wide-kernel condition as parallel.shard_params_tp, applied
+        # shape-wise so Adam/SGD moments shard consistently with params
+        if (
+            tp > 1
+            and getattr(leaf, "ndim", 0) == 2
+            and leaf.shape[-1] >= 256
+            and leaf.shape[-1] % tp == 0
+        ):
+            return NamedSharding(mesh, P(None, "model"))
+        return rep
+
+    state = jax.tree.map(lambda x: jax.device_put(x, rule(x)), state)
 
     def shard_batch(jb):
         return {

@@ -33,3 +33,18 @@ def test_cls_train_dp8(synth_data, tmp_path):
         ]
     )
     assert acc is not None and 0.0 <= acc <= 1.0
+
+
+def test_cls_train_dp4_tp2(synth_data, tmp_path):
+    """dp x tp mesh from the CLI (r4): wide kernels column-sharded on the
+    'model' axis, batch on 'data', one full training epoch end to end."""
+    acc = cls_main(
+        [
+            "--model", "svnet", "--binary", "--dp", "4", "--tp", "2",
+            "--bn-reestimate", "2",
+            "--epochs", "1", "--num-points", "64", "--batch-size", "16",
+            "--k", "8", "--rot", "aligned", "--rot-test", "aligned",
+            "--data-dir", str(synth_data), "--save-dir", str(tmp_path / "r"),
+        ]
+    )
+    assert acc is not None and 0.0 <= acc <= 1.0
