@@ -85,7 +85,7 @@ def main():
              "instead of N(0,1) noise (block skipping only helps here)",
     )
     ap.add_argument(
-        "--exact-selection", choices=["update", "pair", "fused"], default=None,
+        "--exact-selection", choices=["update", "pair", "fused", "value"], default=None,
         help="exact-mode top-k scheme A/B (config.set_exact_selection)",
     )
     ap.add_argument(

@@ -242,7 +242,7 @@ def set_reuse_k(r: int) -> None:
     _invalidate()
 
 
-exact_selection: str = "update"  # 'update' | 'pair' | 'fused'
+exact_selection: str = "update"  # 'update' | 'pair' | 'fused' | 'value'
 
 
 def set_exact_selection(name: str) -> None:
@@ -254,10 +254,12 @@ def set_exact_selection(name: str) -> None:
     the gather's one-hot mask column (selection interleaves with the
     gather/block chunks; bitwise-identical outputs, one (W, T) compare
     per rank instead of two — the mask build is the second gather wall,
-    PERF.md 'refined gather floor'). A/B on-chip with bench.py
-    --exact-selection before flipping the default."""
+    PERF.md 'refined gather floor'); 'value' (r4) = single-plane VALUE
+    tournament + per-rank min-row extraction with a group scatter (same
+    exact semantics, half the planes of 'pair'). A/B on-chip with
+    bench.py --exact-selection before flipping the default."""
     global exact_selection
-    assert name in ("update", "pair", "fused"), name
+    assert name in ("update", "pair", "fused", "value"), name
     exact_selection = name
     _invalidate()
 

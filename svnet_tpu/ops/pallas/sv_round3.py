@@ -410,6 +410,34 @@ def _select_rows(key, rows, N, k, mode):
                 st = tops[-1]
                 wins += [t[1] for t in tops]
             return wins
+        if config.exact_selection == "value":
+            # r4 A/B (ROADMAP #2 'per-tile sorted-tuple top-k'): a
+            # SINGLE-plane value tournament — the sorted-merge formula is
+            # multiset-correct, so duplicate (tied) values are fine for
+            # VALUES, unlike the id-decoding fast path — then per-rank
+            # min-row extraction with an incremental exclusion mask
+            # (ties extract in increasing row order, torch.topk), and ONE
+            # combined scatter per G-group instead of one per rank.
+            # Cross-group thresholding is tie-unsafe with duplicates, so
+            # groups re-run on the scattered key instead (st=None).
+            wins = []
+            for j0 in range(0, k, _SEL_G):
+                g = min(_SEL_G, k - j0)
+                vals = _top_group(key, g, None)
+                excl = None
+                for v in vals:
+                    elig = key == v
+                    if excl is not None:
+                        elig = elig & excl
+                    amin = jnp.min(
+                        jnp.where(elig, rows, _BIG), axis=0, keepdims=True
+                    )
+                    wins.append(amin)
+                    hit = rows != amin
+                    excl = hit if excl is None else (excl & hit)
+                if j0 + g < k:
+                    key = jnp.where(excl, key, _INT_MIN)
+            return wins
         wins = []
         m = jnp.max(key, axis=0, keepdims=True)
         for j in range(k):

@@ -480,3 +480,32 @@ def test_round_block_matmul_int8_bitwise(mode):
         config.set_round_block_matmul("bf16")
     for a, b in zip(base, got):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_exact_value_selection_matches_update():
+    """config.exact_selection='value' (single-plane value tournament +
+    group extraction, r4) is BITWISE identical to the production
+    update-and-rescan loop in exact mode — including distance ties
+    (quantized duplicated coordinates) resolved to the same min-row-id
+    winners in the same rank order."""
+    from svnet_tpu import config
+
+    N2, K2 = 64, 4
+    src = jax.random.normal(jax.random.PRNGKey(5), (B, N2, S + 3 * V))
+    src = jnp.round(src * 2.0) / 2.0
+    src = src.at[:, N2 // 2 :].set(src[:, : N2 // 2])  # exact duplicates
+    folded = _folded(jax.random.PRNGKey(1))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
+              binary=True, mode="exact", interpret=True)
+
+    s_u, v_u, g_u = sv_round3(src, folded, **kw)
+    jax.clear_caches()  # config is read at trace time
+    config.set_exact_selection("value")
+    try:
+        s_p, v_p, g_p = sv_round3(src, folded, **kw)
+    finally:
+        config.set_exact_selection("update")
+        jax.clear_caches()
+    np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_u))
+    np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_u))
+    np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))

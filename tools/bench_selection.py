@@ -82,6 +82,28 @@ def _sel_kernel(x_ref, out_ref, *, k: int, N: int, variant: str):
             key = jnp.where(rows == amin, _INT_MIN, key)
             m = jnp.max(key, axis=0, keepdims=True)
         return
+    if variant.startswith("xval"):
+        # r4 'value' scheme: single-plane value tournament + per-rank
+        # min-row extraction with incremental exclusion, group scatter
+        G = int(variant[4:])
+        key = _sortable_ikey(neg)
+        for j0 in range(0, k, G):
+            g = min(G, k - j0)
+            tops = _top_group(key, g, None)
+            excl = None
+            for gi in range(g):
+                elig = key == tops[gi]
+                if excl is not None:
+                    elig = elig & excl
+                amin = jnp.min(
+                    jnp.where(elig, rows, _BIG), axis=0, keepdims=True
+                )
+                out_ref[0, j0 + gi, :] = amin[0]
+                hit = rows != amin
+                excl = hit if excl is None else (excl & hit)
+            if j0 + g < k:
+                key = jnp.where(excl, key, _INT_MIN)
+        return
     if variant.startswith("pair"):
         G = int(variant[4:])
         key = _sortable_ikey(neg)
@@ -184,7 +206,8 @@ def main():
         xs = jnp.round(x[:1, :, :] * 64.0) / 64.0
         refs = {}
         for v in args.variants.split(","):
-            base = "xupdate" if (v.startswith("pair") or v == "xupdate") else "update"
+            base = ("xupdate" if (v.startswith("pair") or v.startswith("xval")
+                    or v == "xupdate") else "update")
             if base not in refs:
                 refs[base] = np.asarray(run_sel(xs, k, T, base, interpret=True))
             if v == base:
