@@ -504,6 +504,16 @@ def make_fused_first_round(
     def prep(points, idx):
         B, N, _ = points.shape
         T, R = _round3_tiles(N, k, 3, 0, 1, S_out, V_out, "exact")
+        # R MUST divide k: the kernel's chunk loop runs k // R times, so a
+        # non-dividing R silently drops the last k % R neighbour ranks
+        # from the WHOLE round (forward, stats and backward consistently —
+        # training converges to garbage with no crash). This was the r4
+        # on-chip training-collapse root cause: at cls shapes (N=1024,
+        # k=20) the tile heuristic returns R=8 and 4 of 20 ranks vanished;
+        # partseg (k=40) happened to divide. The generic round kernel
+        # (sv_round3_train.prep) always had this clamp.
+        while k % R:
+            R -= 1
         ptsT = jnp.swapaxes(points, 1, 2)
         planesT = pack_planes_exact_t(ptsT)
         idxT = jnp.swapaxes(idx, 1, 2)  # (B, k, N)

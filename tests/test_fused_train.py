@@ -318,3 +318,45 @@ def test_fused_first_round_grad_parity():
             np.asarray(flat2[path]), np.asarray(leaf), rtol=2e-3, atol=2e-4,
             err_msg=jax.tree_util.keystr(path),
         )
+
+
+def test_fused_first_round_nondividing_R(monkeypatch):
+    """r4 regression: the tile heuristic can return a chunk width R that
+    does not divide k (cls shapes: R=8, k=20). prep must clamp it — the
+    kernel's chunk loop runs k // R times, so an unclamped R silently
+    drops the last k % R neighbour ranks from forward, stats AND backward
+    (the r4 on-chip training-collapse root cause)."""
+    from svnet_tpu.ops.pallas import sv_first_train as sft
+
+    monkeypatch.setattr(sft, "_round3_tiles", lambda *a, **kw: (64, 8))
+    sft.make_fused_first_round.cache_clear()
+    K2 = 20
+    S_out, V_out = 16, 10
+    pts = jax.random.normal(jax.random.PRNGKey(0), (B, 64, 3))
+    model = models.SV_DGCNN_CLS(num_classes=10, k=K2, binary=True)
+    variables = model.init(jax.random.PRNGKey(1), pts)
+    p = variables["params"]
+    SUBK = ("v2s", "linear1", "bn1", "linear2", "bn2")
+    # shrink the block to the test dims: re-init a standalone block
+    v = ops.get_graph_feature(pts, k=K2)
+    s = svl.Vector2Scalar(3, name="init_scalar").apply(
+        {"params": {"linear": p["init_scalar"]["linear"]}}, v, True)
+    block = svl.SVBlock(S_out, V_out, binary=False)
+    bvars = block.init(jax.random.PRNGKey(2), (s, v), True)
+    sub = {"init_scalar": p["init_scalar"],
+           **{kk: bvars["params"][kk] for kk in SUBK}}
+    idx = ops.knn(pts, K2)
+    first = sft.make_fused_first_round(S_out, V_out, K2, interpret=True)
+    s1o, v1u, s_mean, (mu1, var1, mun, varn) = first(pts, idx, sub)
+    (so, vo), upd = block.apply(
+        {"params": bvars["params"], "batch_stats": bvars["batch_stats"]},
+        (s, v), True, mutable=["batch_stats"])
+    so_p = jnp.max(so, axis=2)
+    np.testing.assert_allclose(np.asarray(s1o), np.asarray(so_p),
+                               rtol=2e-4, atol=2e-4)
+    bs0 = bvars["batch_stats"]
+    want_mu = (np.asarray(upd["batch_stats"]["bn1"]["bn"]["mean"])
+               - 0.9 * np.asarray(bs0["bn1"]["bn"]["mean"])) / 0.1
+    np.testing.assert_allclose(np.asarray(mu1), want_mu, rtol=1e-3,
+                               atol=1e-5)
+    sft.make_fused_first_round.cache_clear()
