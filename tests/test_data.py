@@ -116,3 +116,37 @@ class TestSyntheticGenerators:
             assert len(np.unique(pid)) >= max(2, mp.SEG_NUM[cat] - 1), cat
             r = np.linalg.norm(p, axis=1)
             assert abs(r.max() - 1.0) < 1e-5 and np.isfinite(p).all()
+
+    def _cls_tool(self):
+        import importlib.util
+        import os
+
+        spec = importlib.util.spec_from_file_location(
+            "make_synthetic",
+            os.path.join(os.path.dirname(__file__), "..", "tools",
+                         "make_synthetic.py"),
+        )
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        return mod
+
+    def test_scan_hard_clouds_valid(self):
+        """r4 ScanObjectNN-hard analogue: clutter present, rotation baked
+        in, normalized unit sphere, valid 15-class labels."""
+        ms = self._cls_tool()
+        rng = np.random.default_rng(0)
+        for c in (0, 7, 14):
+            p = ms.make_scan_cloud(rng, c)
+            assert p.shape == (ms.NPTS, 3) and p.dtype == np.float32
+            r = np.linalg.norm(p, axis=1)
+            assert abs(r.max() - 1.0) < 1e-5 and np.isfinite(p).all()
+        # baked-in rotation: across instances of one class, the dominant
+        # (PCA) axis direction varies — z-aligned datasets would not
+        axes = []
+        for _ in range(6):
+            p = ms.make_scan_cloud(rng, 3)
+            cov = p.T @ p
+            w, v = np.linalg.eigh(cov)
+            axes.append(np.abs(v[:, -1]))
+        spread = np.std(np.stack(axes), axis=0)
+        assert spread.max() > 0.05, spread

@@ -305,6 +305,72 @@ def write_split(rng, path, per_class, hard):
         f.create_dataset("label", data=label)
 
 
+def _rand_rotation(rng):
+    """Uniform SO(3) rotation (QR of a Gaussian, det fixed)."""
+    q, r = np.linalg.qr(rng.normal(size=(3, 3)))
+    q *= np.sign(np.diag(r))
+    if np.linalg.det(q) < 0:
+        q[:, 0] = -q[:, 0]
+    return q
+
+
+def _clutter(rng, n):
+    """Scan-style background: a ground-plane patch under the object plus
+    a random wall/shelf fragment (ScanObjectNN's objects come with attached
+    background from the scene segmentation — ref data.py:306-315's hard
+    files; the easy/hard contrast is rotation+scale perturbation ON TOP of
+    that clutter)."""
+    n_plane = n * 2 // 3
+    plane = np.empty((n_plane, 3))
+    plane[:, 0] = rng.uniform(-1.2, 1.2, n_plane)
+    plane[:, 2] = rng.uniform(-1.2, 1.2, n_plane)
+    plane[:, 1] = rng.uniform(-1.05, -0.9, n_plane)  # under the object
+    frag = np.empty((n - n_plane, 3))
+    d = _unit(rng.normal(size=(1, 3)))
+    span = rng.uniform(0.3, 0.8)
+    frag[:, :] = rng.uniform(-span, span, (n - n_plane, 3))
+    frag -= (frag @ d[0])[:, None] * d  # flatten onto a random plane
+    frag += d * rng.uniform(0.9, 1.3)  # push to the side
+    return np.concatenate([plane, frag], 0)
+
+
+def make_scan_cloud(rng, cls_id):
+    """ScanObjectNN-hard analogue: hard object + background clutter, then
+    a BAKED-IN perturbed rotation and scale-75 variation (the hard files
+    are pre-augmented on disk — training can't undo it with --rot z, which
+    is exactly what makes the hard split's binary gap the reference's
+    largest: README.md:123-125)."""
+    p = make_cloud(rng, cls_id, hard=True)
+    n_bg = int(NPTS * rng.uniform(0.15, 0.45))
+    keep = rng.permutation(NPTS)[: NPTS - n_bg]
+    p = np.concatenate([p[keep], _clutter(rng, n_bg)], 0)
+    p = p @ _rand_rotation(rng).T  # perturbed-rotation baked into the data
+    p = p * rng.uniform(0.75, 1.0)  # scale75
+    p = p - p.mean(0, keepdims=True)
+    p = p / np.max(np.linalg.norm(p, axis=1))
+    rng.shuffle(p)
+    return p.astype(np.float32)
+
+
+def write_scan_split(rng, path, per_class):
+    import h5py
+
+    nc = 15  # ScanObjectNNCls.num_classes
+    M = per_class * nc
+    data = np.empty((M, NPTS, 3), np.float32)
+    label = np.empty((M,), np.int64)
+    order = rng.permutation(M)
+    i = 0
+    for c in range(nc):
+        for _ in range(per_class):
+            data[order[i]] = make_scan_cloud(rng, c)
+            label[order[i]] = c
+            i += 1
+    with h5py.File(path, "w") as f:
+        f.create_dataset("data", data=data)
+        f.create_dataset("label", data=label)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/synth_v2")
@@ -313,10 +379,28 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--easy", action="store_true",
                     help="round-2-style mild corruption (saturates)")
+    ap.add_argument("--scan-hard", action="store_true",
+                    help="ScanObjectNN-hard analogue instead: 15 classes, "
+                         "background clutter, BAKED-IN perturbed rotation + "
+                         "scale75; writes the h5_files/main_split layout "
+                         "the unmodified ScanObjectNNCls loader consumes "
+                         "(--dataset scanobjectnn --subset hard)")
     args = ap.parse_args()
+    rng = np.random.default_rng(args.seed)
+    if args.scan_hard:
+        d = os.path.join(args.out, "h5_files", "main_split")
+        os.makedirs(d, exist_ok=True)
+        write_scan_split(
+            rng, os.path.join(d, "training_objectdataset_augmentedrot_scale75.h5"),
+            args.train // 15)
+        write_scan_split(
+            rng, os.path.join(d, "test_objectdataset_augmentedrot_scale75.h5"),
+            args.test // 15)
+        print(f"wrote {args.train // 15 * 15} train / {args.test // 15 * 15} "
+              f"test scan-hard clouds, 15 classes -> {d}")
+        return
     d = os.path.join(args.out, "modelnet40_ply_hdf5_2048")
     os.makedirs(d, exist_ok=True)
-    rng = np.random.default_rng(args.seed)
     nc = len(CLASSES)
     write_split(rng, os.path.join(d, "ply_data_train0.h5"),
                 args.train // nc, not args.easy)
