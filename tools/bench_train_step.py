@@ -35,15 +35,15 @@ ROUNDTRIP_MS = 26.0  # measured axon-tunnel dispatch cost (PERF.md)
 EPOCH_CLOUDS = {"cls": 9840, "partseg": 14007}
 
 
-def setup(task, B, N, K):
+def setup(task, B, N, K, binary=True):
     if task == "cls":
-        model = models.SV_DGCNN_CLS(num_classes=40, k=K, binary=True)
+        model = models.SV_DGCNN_CLS(num_classes=40, k=K, binary=binary)
         pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), pts)
         batch = {"points": pts, "target": jnp.zeros((B,), jnp.int32)}
         loss_fn, with_label, recipe = cal_loss, False, "dgcnn"
     else:
-        model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=True)
+        model = models.SV_DGCNN_PSEG(num_part=50, k=K, binary=binary)
         pts = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
         lab = jax.nn.one_hot(jnp.arange(B) % 16, 16, dtype=jnp.float32)
         variables = jax.jit(model.init)(jax.random.PRNGKey(1), pts, lab)
@@ -53,7 +53,7 @@ def setup(task, B, N, K):
             "target": jnp.zeros((B, N), jnp.int32),
         }
         loss_fn, with_label, recipe = cal_loss, True, "dgcnn"
-    tx = make_optimizer(binary=True, lr=1e-3, epochs=10, steps_per_epoch=10,
+    tx = make_optimizer(binary=binary, lr=1e-3, epochs=10, steps_per_epoch=10,
                         recipe=recipe)
     state = TrainState.create(
         params=variables["params"], batch_stats=variables["batch_stats"],
@@ -62,21 +62,23 @@ def setup(task, B, N, K):
     return model, state, batch, loss_fn, with_label
 
 
-def make_fused(task, K, num_classes=40):
+def make_fused(task, K, num_classes=40, binary=True):
     interp = jax.default_backend() != "tpu"
     if task == "cls":
         from svnet_tpu.train.fused import make_fused_train_apply
 
-        return make_fused_train_apply(num_classes, K, binary=True,
+        return make_fused_train_apply(num_classes, K, binary=binary,
                                       interpret=interp)
     from svnet_tpu.train.fused import make_fused_train_apply_pseg
 
-    return make_fused_train_apply_pseg(50, K, binary=True, interpret=interp)
+    return make_fused_train_apply_pseg(50, K, binary=binary,
+                                       interpret=interp)
 
 
-def bench(task, impl, B, N, K, iters, repeats):
-    model, state, batch, loss_fn, with_label = setup(task, B, N, K)
-    fused_apply = make_fused(task, K) if impl == "fused" else None
+def bench(task, impl, B, N, K, iters, repeats, binary=True):
+    model, state, batch, loss_fn, with_label = setup(task, B, N, K, binary)
+    fused_apply = (make_fused(task, K, binary=binary)
+                   if impl == "fused" else None)
     step = make_train_step(model, loss_fn, rot="z", with_label=with_label,
                            fused_apply=fused_apply)
 
@@ -103,7 +105,8 @@ def bench(task, impl, B, N, K, iters, repeats):
     cps = B / (ms / 1e3)
     epoch = EPOCH_CLOUDS[task] / cps
     print(
-        f"{task} {impl}: {ms:.1f} ms/step (B={B}, N={N}, k={K}) = "
+        f"{task} {impl}{'' if binary else ' FP'}: {ms:.1f} ms/step "
+        f"(B={B}, N={N}, k={K}) = "
         f"{cps:.0f} clouds/s, epoch@{EPOCH_CLOUDS[task]} ~ {epoch:.1f} s",
         flush=True,
     )
@@ -189,6 +192,8 @@ def main():
                     default=None, help="training-path kNN top-k scheme A/B")
     ap.add_argument("--legs", default="",
                     help="extra stage-ablation legs: fwd,knn,gather")
+    ap.add_argument("--fp", action="store_true",
+                    help="bench the FULL-PRECISION model (r4 fused FP path)")
     args = ap.parse_args()
     if args.exact_selection:
         from svnet_tpu import config
@@ -199,7 +204,8 @@ def main():
     K = args.k or (20 if args.task == "cls" else 40)
     impls = ["fused", "xla"] if args.impl == "both" else [args.impl]
     for impl in impls:
-        bench(args.task, impl, args.batch, N, K, args.iters, args.repeats)
+        bench(args.task, impl, args.batch, N, K, args.iters, args.repeats,
+              binary=not args.fp)
     if args.legs:
         ablate(args.task, args.batch, N, K, args.iters, args.repeats,
                args.legs.split(","))
