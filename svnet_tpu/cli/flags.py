@@ -38,6 +38,12 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
         "--num-points", type=int, default=1024 if task == "cls" else 2048
     )
     p.add_argument("--dropout", type=float, default=0.5)
+    p.add_argument("--opt", choices=["auto", "adam", "sgd"], default="auto",
+                   help="optimizer override (r4): 'auto' keeps the"
+                        " reference recipe (DGCNN: Adam if --binary, SGD"
+                        " lr x100 otherwise); 'adam'/'sgd' force one —"
+                        " useful when the epoch budget is far below the"
+                        " reference's ~200-epoch runs")
     p.add_argument("--emb-dims", type=int, default=1024)
     p.add_argument("--k", type=int, default=20 if task == "cls" else 40)
     p.add_argument(

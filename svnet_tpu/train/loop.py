@@ -185,6 +185,7 @@ def _make_state(args, model, init_batch, steps_per_epoch, with_label=False):
         momentum=args.momentum,
         weight_decay=args.wd,
         recipe=_recipe(args),
+        opt=getattr(args, "opt", "auto"),
     )
     return TrainState.create(
         params=variables["params"],
