@@ -295,10 +295,14 @@ def main():
         results[mode], engines[mode], spreads[mode] = measure(mode)
 
     # serving-pick leg (knob-free DGCNN default runs only): the
-    # accuracy-certified knob composition — approx selection (fold 512 at
-    # partseg), 8-bit gather planes, spatial graph reuse (PERF.md knob
-    # table; certification in ACCURACY.md) — measured alongside the
-    # parity modes so the driver-captured JSON carries the serving number.
+    # accuracy-CERTIFIED composition. The r4 trained-checkpoint ladder
+    # (ACCURACY.md r4 serving certification; evidence/r4/) demoted the
+    # r3 composition: 8-bit gathers cost −4.8 acc and graph reuse −13
+    # (conv2) / −50 (spatial) on the trained binary checkpoint, so the
+    # certified pick is PLAIN APPROX (fold 512 at partseg; Morton entry
+    # sort is automatic in approx since r4) — fast/exact ride along as
+    # parity legs. The decertified knobs remain available per-checkpoint
+    # (docs/serving.md), just not as the headline.
     serving = None
     serving_spread = None
     partseg_serving = None
@@ -315,20 +319,10 @@ def main():
         from svnet_tpu import config as _cfg
 
         def serving_knobs(task, num_points):
-            _cfg.set_graph_reuse("spatial")
-            _cfg.set_approx_gather_bits(8)
-            if num_points >= 4096:
-                # winner-block compaction certifies ~0.53N/0.30N at
-                # N=4096/8192 (PERF.md r3.3); at bench shapes it cannot,
-                # and would only pay the keep prepass
-                _cfg.set_reuse_gather_window(num_points // 2)
             if task == "partseg":
                 _cfg.set_approx_fold(512)
 
         def reset_knobs():
-            _cfg.set_graph_reuse("none")
-            _cfg.set_approx_gather_bits(16)
-            _cfg.set_reuse_gather_window(0)
             _cfg.set_approx_fold(256)
 
         try:
@@ -400,10 +394,10 @@ def main():
         )
     if serving is not None:
         out["serving_config"] = (
-            "approx + 8-bit gathers + spatial graph reuse"
-            + (f" + gather window {args.num_points // 2} (Morton)"
-               if args.num_points >= 4096 else "")
+            "approx (Morton entry sort)"
             + (" + fold 512" if args.task == "partseg" else "")
+            + " — r4-certified pick; gb8/graph-reuse decertified"
+              " (ACCURACY.md r4)"
         )
     # non-default serving knobs self-describe the measurement
     if args.graph_reuse and args.graph_reuse != "none":

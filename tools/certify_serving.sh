@@ -1,9 +1,9 @@
 #!/bin/sh
 # Trained-checkpoint certification of the serving knob ladder (ACCURACY.md
-# r3.4): evaluates one checkpoint through the fused engine at each serving
-# configuration and greps the IoU/acc lines. Usage:
-#   sh tools/certify_serving.sh partseg /root/synth_pseg/runs/bin/save_models/model_best.ckpt /root/synth_pseg
-#   sh tools/certify_serving.sh cls     /root/synth_v2/runs/bin100/save_models/model_best.ckpt /root/synth_v2
+# r4): evaluates one checkpoint through the fused engine at each serving
+# configuration, leg by leg, and greps the IoU/acc lines. Usage:
+#   sh tools/certify_serving.sh partseg CKPT /root/synth_pseg
+#   sh tools/certify_serving.sh cls     CKPT /root/synth_v2
 set -e
 TASK=$1; CKPT=$2; DATA=$3
 case "$TASK" in
@@ -22,6 +22,10 @@ run() {
   grep -Ei "test.*(acc|iou)" /tmp/certify_${TASK}_run.log | tail -2
 }
 run --engine-mode exact
+run --engine-mode fast
+run --engine-mode approx $FOLD
+run --engine-mode approx $FOLD --approx-gather-bits 8
+run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse conv2
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse spatial
+run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse conv2 --reuse-k $((K / 2))
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse spatial --reuse-k $((K / 2))
-run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse spatial --reuse-k $((K / 4))
