@@ -130,6 +130,14 @@ def build_parser(task: str, backbone: str) -> argparse.ArgumentParser:
              "--graph-reuse; 0 = off)",
     )
     p.add_argument(
+        "--train-knobs", action="store_true",
+        help="knob-aware (QAT-style) TRAINING for binary SV-DGCNN "
+             "(config.set_train_knobs): the train forward simulates the "
+             "serving knobs set alongside it (--graph-reuse / --reuse-k / "
+             "--approx-gather-bits 8) so a checkpoint can be finetuned to "
+             "certify the fast serving composition (ACCURACY.md r5)",
+    )
+    p.add_argument(
         "--morton-entry", action="store_true",
         help="Morton-sort clouds at fused-engine entry "
              "(config.set_morton_entry; exact — cls pooling is "

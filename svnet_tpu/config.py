@@ -242,6 +242,23 @@ def set_reuse_k(r: int) -> None:
     _invalidate()
 
 
+gather_pipeline: bool = False  # software-pipeline mask build vs gather dot
+
+
+def set_gather_pipeline(on: bool) -> None:
+    """Round-kernel chunk loop (trace-time; sv_round3): when on, chunk
+    c+1's one-hot gather masks (VPU compares) are BUILT before chunk c's
+    gather dot result is consumed, giving Mosaic a window to overlap the
+    mask build with the in-flight MXU dot (ROADMAP r4 #4: the measured
+    serial sum says the default order does not overlap them). Outputs are
+    BITWISE identical — same masks, same dots, same accumulation order;
+    only instruction scheduling changes. A/B on-chip (bench.py
+    --gather-pipeline) before adopting as default."""
+    global gather_pipeline
+    gather_pipeline = bool(on)
+    _invalidate()
+
+
 exact_selection: str = "update"  # 'update' | 'pair' | 'fused' | 'value'
 
 
@@ -261,6 +278,36 @@ def set_exact_selection(name: str) -> None:
     global exact_selection
     assert name in ("update", "pair", "fused", "value"), name
     exact_selection = name
+    _invalidate()
+
+
+train_knobs: bool = False  # TRAIN paths simulate the serving knobs
+
+
+def set_train_knobs(on: bool) -> None:
+    """Knob-aware (QAT-style) training (trace-time; binary SV-DGCNN train
+    paths — train/fused.py and the flax models): when on, the TRAINING
+    forward simulates the serving knobs currently set in config —
+
+      * ``graph_reuse`` 'conv2'/'spatial' — later DGCNN rounds consume the
+        cached round's kNN winners instead of recomputing selection, with
+        the engines' exact semantics (infer.py _trunk_round3);
+      * ``reuse_k`` r — reuse rounds see only the nearest r neighbour
+        ranks (the rounds run at k=r);
+      * ``approx_gather_bits`` 8 — each binary round's input is fake-
+        quantized to the serving gather's int8 grid (pack_planes_q8_t:
+        per-channel symmetric, amax over batch+points) with a straight-
+        through gradient, exactly the reference's own binarization
+        pattern (train with the deployment quantization in the loop,
+        ref sv_layers.py:29-53) applied to the gather.
+
+    This is how a checkpoint is FINETUNED to certify the fast serving
+    composition (ACCURACY.md r4 demoted those knobs on checkpoints trained
+    without them). kNN selection itself stays exact in training — the
+    serving modes' fast/approx selection is certified separately. Off by
+    default; --train-knobs from the CLI."""
+    global train_knobs
+    train_knobs = bool(on)
     _invalidate()
 
 

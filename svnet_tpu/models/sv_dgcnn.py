@@ -14,8 +14,59 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from svnet_tpu import ops
+from svnet_tpu import config, ops
 from svnet_tpu.nn import sv_layers as svl
+
+
+def _knob_state(binary: bool, k: int):
+    """Trace-time resolution of config.train_knobs for the flax paths.
+
+    Returns None when knob simulation is off (the default: every existing
+    call site compiles the exact same graph as before), else
+    (reuse, round_k, q8) with the inference engines' semantics — see
+    config.set_train_knobs and train/fused.py::_train_knobs."""
+    if not (config.train_knobs and binary):
+        return None
+    reuse = config.graph_reuse
+    rk = config.reuse_k
+    q8 = config.approx_gather_bits == 8
+
+    def round_k(name: str) -> int:
+        is_reuse = reuse == "spatial" or (reuse == "conv2" and name != "conv2")
+        return rk if (is_reuse and 0 < rk < k) else k
+
+    return reuse, round_k, q8
+
+
+def _knob_graph(x, k, idx0, wins, name, knobs):
+    """One DGCNN round's edge features under serving-knob simulation.
+
+    Applies graph reuse ('spatial': the first round's xyz winners; 'conv2':
+    conv2's own feature-space winners cached for conv3/conv4), reuse_k rank
+    slicing (winner ids are rank-major, rank 0 = nearest), and the 8-bit
+    gather fake-quantization (STE; kNN selection itself runs on the exact
+    features, as the engines' selection path is certified separately).
+    Returns (edge SVPair, wins')."""
+    reuse, round_k, q8 = knobs
+    s, v = x
+    B, N = s.shape[0], s.shape[1]
+    if reuse == "spatial":
+        cached = idx0
+    elif reuse == "conv2" and name != "conv2":
+        cached = wins
+    else:
+        cached = None
+    if cached is not None:
+        idx = cached[:, :, : round_k(name)]
+    else:
+        joint = jnp.concatenate([s, v.reshape(B, N, -1)], axis=-1)
+        idx = ops.knn(joint, k)
+        if reuse == "conv2" and name == "conv2":
+            wins = idx
+    if q8:
+        s = svl.ste_quant8(s)
+        v = svl.ste_quant8(v)
+    return ops.get_graph_feature_sv((s, v), k=idx.shape[-1], idx=idx), wins
 
 
 def make_divisible(v: float, divisor: int = 8) -> int:
@@ -47,22 +98,34 @@ class SV_DGCNN_CLS(nn.Module):
     def __call__(self, points: jax.Array, train: bool = False) -> jax.Array:
         B = points.shape[0]
         p_drop = 0.0 if self.binary else self.dropout
+        knobs = _knob_state(self.binary, self.k)  # None unless --train-knobs
 
-        v = ops.get_graph_feature(points, k=self.k)  # (B, N, k, 3, 2)
+        idx0 = ops.knn(points, self.k) if knobs is not None else None
+        v = ops.get_graph_feature(points, k=self.k, idx=idx0)  # (B,N,k,3,2)
         s = svl.Vector2Scalar(3, name="init_scalar")(v, train)  # (B, N, k, 6)
         x = (s, v)
         x = svl.SVBlock(64 // 2, 64 // 6, name="conv1")(x, train)  # always FP
         x1 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x1, k=self.k)
+        wins = None
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x1, k=self.k)
+        else:
+            x, wins = _knob_graph(x1, self.k, idx0, wins, "conv2", knobs)
         x = svl.SVBlock(64 // 2, 64 // 6, self.binary, name="conv2")(x, train)
         x2 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x2, k=self.k)
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x2, k=self.k)
+        else:
+            x, wins = _knob_graph(x2, self.k, idx0, wins, "conv3", knobs)
         x = svl.SVBlock(128 // 2, 128 // 6, self.binary, name="conv3")(x, train)
         x3 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x3, k=self.k)
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x3, k=self.k)
+        else:
+            x, wins = _knob_graph(x3, self.k, idx0, wins, "conv4", knobs)
         x = svl.SVBlock(256 // 2, 256 // 6, self.binary, name="conv4")(x, train)
         x4 = ops.svpool(x)
 
@@ -131,22 +194,34 @@ class SV_DGCNN_PSEG(nn.Module):
         B, N = points.shape[0], points.shape[1]
         p_drop = 0.0 if self.binary else self.dropout
         emb = self.emb
+        knobs = _knob_state(self.binary, self.k)  # None unless --train-knobs
 
-        v = ops.get_graph_feature(points, k=self.k)
+        idx0 = ops.knn(points, self.k) if knobs is not None else None
+        v = ops.get_graph_feature(points, k=self.k, idx=idx0)
         s = svl.Vector2Scalar(3, name="init_scalar")(v, train)
         x = (s, v)
         x = svl.SVBlock(_V(64 // 2), _V(64 // 6), name="conv1")(x, train)
         x1 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x1, k=self.k)
+        wins = None
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x1, k=self.k)
+        else:
+            x, wins = _knob_graph(x1, self.k, idx0, wins, "conv2", knobs)
         x = svl.SVBlock(_V(64 // 2), _V(64 // 6), self.binary, name="conv2")(x, train)
         x2 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x2, k=self.k)
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x2, k=self.k)
+        else:
+            x, wins = _knob_graph(x2, self.k, idx0, wins, "conv3", knobs)
         x = svl.SVBlock(_V(128 // 2), _V(128 // 6), self.binary, name="conv3")(x, train)
         x3 = ops.svpool(x)
 
-        x = ops.get_graph_feature_sv(x3, k=self.k)
+        if knobs is None:
+            x = ops.get_graph_feature_sv(x3, k=self.k)
+        else:
+            x, wins = _knob_graph(x3, self.k, idx0, wins, "conv4", knobs)
         x = svl.SVBlock(_V(256 // 2), _V(256 // 6), self.binary, name="conv4")(x, train)
         x4 = ops.svpool(x)
 

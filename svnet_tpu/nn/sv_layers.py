@@ -57,6 +57,23 @@ def binarize(x: jax.Array, train: bool) -> jax.Array:
     return ste_sign(x) if train else jnp.sign(x)
 
 
+def ste_quant8(x: jax.Array) -> jax.Array:
+    """Symmetric per-channel int8 fake-quantization, straight-through grad.
+
+    The training twin of the serving engines' 8-bit gather plane
+    (ops/pallas/sv_round3.py::pack_planes_q8_t): per trailing-structure
+    channel, scale = 127/amax with amax over batch AND points (axes 0, 1),
+    round, clip to ±127, dequantize. Works on scalars (B, N, S) and
+    vectors (B, N, 3, V) alike — for vectors every (axis, channel) row
+    quantizes independently, matching the engine's flattened-joint channel
+    grid. Used by the knob-aware train paths (config.train_knobs)."""
+    amax = jnp.max(jnp.abs(jax.lax.stop_gradient(x)), axis=(0, 1),
+                   keepdims=True)
+    scale = jnp.float32(127.0) / jnp.maximum(amax, 1e-30)
+    q = jnp.clip(jnp.round(x * scale), -127, 127) / scale
+    return x + jax.lax.stop_gradient(q - x)
+
+
 def _binary_matmul_eval(x: jax.Array, w: jax.Array) -> jax.Array:
     """Eval-path matmul of ±1 (or 0) operands.
 

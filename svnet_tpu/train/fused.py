@@ -27,13 +27,36 @@ import functools
 import jax
 import jax.numpy as jnp
 
-from svnet_tpu import ops
-from svnet_tpu.nn.sv_layers import EPS, ste_sign
+from svnet_tpu import config, ops
+from svnet_tpu.nn.sv_layers import EPS, ste_quant8, ste_sign
 from svnet_tpu.ops.pallas.sv_first_train import make_fused_first_round
 from svnet_tpu.ops.pallas.sv_round3_train import make_fused_round
 
 BN_MOM = 0.9
 BN_EPS = 1e-5
+
+
+def _train_knobs(binary: bool, k: int):
+    """Resolve config.train_knobs (knob-aware finetuning) at factory time.
+
+    Returns (reuse, round_k, q8): ``reuse`` in {'none','conv2','spatial'},
+    ``round_k(name)`` the effective neighbour count for a trunk round
+    (reuse rounds run at config.reuse_k), ``q8`` whether each binary
+    round's input is STE-fake-quantized to the serving gather's int8 grid.
+    Semantics mirror the inference engines (infer.py::_trunk_round3):
+    'spatial' reuses the FIRST round's xyz winners for conv2-4, 'conv2'
+    runs conv2's own full-k feature-space selection and reuses it for
+    conv3/conv4; reuse rounds consume the nearest reuse_k ranks."""
+    on = config.train_knobs and binary
+    reuse = config.graph_reuse if on else "none"
+    rk = config.reuse_k if on else 0
+    q8 = on and config.approx_gather_bits == 8
+
+    def round_k(name: str) -> int:
+        is_reuse = reuse == "spatial" or (reuse == "conv2" and name != "conv2")
+        return rk if (is_reuse and 0 < rk < k) else k
+
+    return reuse, round_k, q8
 
 
 def _dropout(rng, x, rate):
@@ -137,8 +160,9 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
         "conv3": (64 // 2, 64 // 6, 128 // 2, 128 // 6),
         "conv4": (128 // 2, 128 // 6, 256 // 2, 256 // 6),
     }
+    reuse, round_k, q8 = _train_knobs(binary, k)
     fused = {
-        name: make_fused_round(S, V, So, Vo, k, binary=binary,
+        name: make_fused_round(S, V, So, Vo, round_k(name), binary=binary,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
@@ -167,11 +191,19 @@ def make_fused_train_apply(num_classes: int, k: int, binary: bool = True,
             "bn2": {"bn": _stats_update(bs["conv1"]["bn2"]["bn"], mun1, varn1)},
         }
 
+        wins = idx0 if reuse == "spatial" else None  # (B, N, k) rank-major
         outs = [x1]
         for name, (S, V, So, Vo) in rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
-            idx = ops.knn(joint, k)  # stop-gradient inside
+            if wins is not None:  # graph reuse: nearest round_k(name) ranks
+                idx = wins[:, :, : round_k(name)]
+            else:
+                idx = ops.knn(joint, k)  # stop-gradient inside
+                if reuse == "conv2" and name == "conv2":
+                    wins = idx
+            if q8:  # serving-gather int8 grid, STE (selection stays exact)
+                joint = ste_quant8(joint)
             sub = {kk: p[name][kk] for kk in SUB}
             so, vo_ung, s_mean, (mu1, var1, mun, varn) = fused[name](
                 joint, idx, sub
@@ -239,8 +271,9 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
         "conv3": (32, 16, 64, 24),
         "conv4": (64, 24, 128, 40),
     }
+    reuse, round_k, q8 = _train_knobs(binary, k)
     fused = {
-        name: make_fused_round(S, V, So, Vo, k, binary=binary,
+        name: make_fused_round(S, V, So, Vo, round_k(name), binary=binary,
                                interpret=interpret)
         for name, (S, V, So, Vo) in rounds.items()
     }
@@ -268,11 +301,19 @@ def make_fused_train_apply_pseg(num_part: int, k: int, binary: bool = True,
             "bn2": {"bn": _stats_update(bs["conv1"]["bn2"]["bn"], mun1, varn1)},
         }
 
+        wins = idx0 if reuse == "spatial" else None  # (B, N, k) rank-major
         outs = [x1]
         for name, (S, V, So, Vo) in rounds.items():
             s_in, v_in = outs[-1]
             joint = jnp.concatenate([s_in, v_in.reshape(B, N, -1)], axis=-1)
-            idx = ops.knn(joint, k)
+            if wins is not None:  # graph reuse: nearest round_k(name) ranks
+                idx = wins[:, :, : round_k(name)]
+            else:
+                idx = ops.knn(joint, k)
+                if reuse == "conv2" and name == "conv2":
+                    wins = idx
+            if q8:  # serving-gather int8 grid, STE (selection stays exact)
+                joint = ste_quant8(joint)
             sub = {kk: p[name][kk] for kk in SUB}
             so, vo_ung, s_mean, (mu1, var1, mun, varn) = fused[name](
                 joint, idx, sub

@@ -126,6 +126,45 @@ def _merge_overlap(student, teacher):
     return traverse_util.unflatten_dict(s), hits, len(s)
 
 
+def _preload_weights(state, args, t_template, log_string):
+    """Plain (non-distill) --preload: finetune initialization.
+
+    Restores through a template shaped like the STUDENT state, so same-
+    config preloads (binary -> binary knob-finetuning, FP -> FP) carry
+    every leaf including the binarization extras; when the checkpoint's
+    tree differs (an FP teacher preloaded into a binary student) it falls
+    back to the FP-shaped ``t_template`` and merges the overlapping
+    leaves, like --distill's kd-init does."""
+    s_template = {
+        "epoch": 0,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "best_metric": 0.0,
+    }
+    try:
+        ckpt = load_checkpoint(s_template, args.save_dir, test=args.preload)
+        if ckpt is None:
+            raise FileNotFoundError(f"--preload {args.preload} not found")
+        state = state.replace(
+            params=ckpt["params"], batch_stats=ckpt["batch_stats"]
+        )
+        log_string(f"preloaded weights from {args.preload}")
+        return state
+    except (ValueError, KeyError, TypeError):
+        pass  # tree mismatch: fall back to the FP-shaped template
+    ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
+    if ckpt is None:
+        raise FileNotFoundError(f"--preload {args.preload} not found")
+    new_p, hp, tp_n = _merge_overlap(state.params, ckpt["params"])
+    new_b, hb, tb = _merge_overlap(state.batch_stats, ckpt["batch_stats"])
+    state = state.replace(params=new_p, batch_stats=new_b)
+    log_string(
+        f"preloaded weights from {args.preload} "
+        f"(overlap merge: {hp}/{tp_n} params, {hb}/{tb} batch_stats leaves)"
+    )
+    return state
+
+
 def _setup_mesh(args, state):
     """Parallelism mesh (--dp x --tp): shard the state, return a batch
     sharding function. --dp is the TPU-native upgrade of the reference's
@@ -209,6 +248,8 @@ def _apply_approx_knobs(args) -> None:
         config.set_reuse_k(args.reuse_k)
     if getattr(args, "morton_entry", False):
         config.set_morton_entry(True)
+    if getattr(args, "train_knobs", False):
+        config.set_train_knobs(True)
 
 
 def run_cls(args) -> Optional[float]:
@@ -282,10 +323,12 @@ def run_cls(args) -> Optional[float]:
             "batch_stats": t_zeros["batch_stats"],
             "best_metric": 0.0,
         }
-        t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
-        if t_ckpt is None:
-            raise FileNotFoundError(f"--preload {args.preload} not found")
         if getattr(args, "distill", False):
+            t_ckpt = load_checkpoint(
+                t_template, args.save_dir, test=args.preload
+            )
+            if t_ckpt is None:
+                raise FileNotFoundError(f"--preload {args.preload} not found")
             distiller = _Distiller(
                 teacher_model,
                 {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
@@ -307,10 +350,7 @@ def run_cls(args) -> Optional[float]:
                     f"({hp}/{tp} params, {hb}/{tb} batch_stats leaves)"
                 )
         else:
-            state = state.replace(
-                params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
-            )
-            log_string(f"preloaded weights from {args.preload}")
+            state = _preload_weights(state, args, t_template, log_string)
 
     # build steps (KD wraps the base step to add the teacher term).
     # The fused Pallas train forward (train/fused.py) replaces model.apply
@@ -705,10 +745,12 @@ def run_partseg(args) -> Optional[float]:
             "batch_stats": t_zeros["batch_stats"],
             "best_metric": 0.0,
         }
-        t_ckpt = load_checkpoint(t_template, args.save_dir, test=args.preload)
-        if t_ckpt is None:
-            raise FileNotFoundError(f"--preload {args.preload} not found")
         if getattr(args, "distill", False):
+            t_ckpt = load_checkpoint(
+                t_template, args.save_dir, test=args.preload
+            )
+            if t_ckpt is None:
+                raise FileNotFoundError(f"--preload {args.preload} not found")
             distiller = _Distiller(
                 teacher_model,
                 {"params": t_ckpt["params"], "batch_stats": t_ckpt["batch_stats"]},
@@ -730,10 +772,7 @@ def run_partseg(args) -> Optional[float]:
                     f"({hp}/{tp} params, {hb}/{tb} batch_stats leaves)"
                 )
         else:
-            state = state.replace(
-                params=t_ckpt["params"], batch_stats=t_ckpt["batch_stats"]
-            )
-            log_string(f"preloaded weights from {args.preload}")
+            state = _preload_weights(state, args, t_template, log_string)
 
     # The fused Pallas train forward (train/fused.py) replaces model.apply
     # for the binary SV-DGCNN partseg flagship (config.fused_train) — same
