@@ -89,6 +89,12 @@ def main():
         help="exact-mode top-k scheme A/B (config.set_exact_selection)",
     )
     ap.add_argument(
+        "--gather-pipeline", action="store_true",
+        help="software-pipeline chunk c+1's gather mask build against "
+             "chunk c's MXU dot (config.set_gather_pipeline; bitwise-"
+             "identical outputs — scheduling A/B only)",
+    )
+    ap.add_argument(
         "--approx-fold", type=int, default=None,
         help="approx-mode selection fold width L (config.set_approx_fold; "
              "default 256 — wider = better recall, narrower = faster)",
@@ -158,6 +164,10 @@ def main():
         from svnet_tpu import config
 
         config.set_exact_selection(args.exact_selection)
+    if args.gather_pipeline:
+        from svnet_tpu import config
+
+        config.set_gather_pipeline(True)
     if args.approx_fold:
         from svnet_tpu import config
 

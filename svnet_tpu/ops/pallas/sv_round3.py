@@ -805,6 +805,32 @@ def _round3_kernel(
             decode_group(g)
             block_chunk(G)
             done += G
+    elif config.gather_pipeline:
+        # r5 (ROADMAP r4 #4): chunk c+1's one-hot masks are BUILT before
+        # chunk c's dot result is consumed, handing Mosaic an in-flight
+        # MXU dot to overlap the VPU compares with. Bitwise identical to
+        # the branch below — same masks, same dots, same accumulation
+        # order (config.set_gather_pipeline; A/B with bench.py).
+        masks = [
+            (rows == wins[r]).astype(jnp.int8)
+            for r in range(min(_SEL_G, k))
+        ]
+        while done < k:
+            G = min(_SEL_G, k - done)
+            g = jax.lax.dot_general(
+                planes_w, jnp.concatenate(masks, axis=1),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32,
+            )
+            nxt = done + G
+            if nxt < k:
+                masks = [
+                    (rows == wins[nxt + r]).astype(jnp.int8)
+                    for r in range(min(_SEL_G, k - nxt))
+                ]
+            decode_group(g)
+            block_chunk(G)
+            done = nxt
     else:
         while done < k:
             G = min(_SEL_G, k - done)

@@ -310,6 +310,32 @@ def test_exact_pair_selection_matches_update():
     np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
 
 
+def test_gather_pipeline_bitwise_identical():
+    """config.gather_pipeline (r5: chunk c+1's gather masks built before
+    chunk c's dot is consumed) must be BITWISE identical — it only changes
+    instruction scheduling, never the masks, dots, or accumulation order."""
+    from svnet_tpu import config
+
+    N2, K2 = 64, 4
+    src = jax.random.normal(jax.random.PRNGKey(5), (B, N2, S + 3 * V))
+    folded = _folded(jax.random.PRNGKey(1))
+    kw = dict(S=S, V=V, S_out=S_out, V_out=V_out, k=K2, T=N2, R=4,
+              binary=True, interpret=True)
+
+    for mode in ("exact", "fast"):
+        s_u, v_u, g_u = sv_round3(src, folded, mode=mode, **kw)
+        jax.clear_caches()  # config is read at trace time
+        config.set_gather_pipeline(True)
+        try:
+            s_p, v_p, g_p = sv_round3(src, folded, mode=mode, **kw)
+        finally:
+            config.set_gather_pipeline(False)
+            jax.clear_caches()
+        np.testing.assert_array_equal(np.asarray(s_p), np.asarray(s_u))
+        np.testing.assert_array_equal(np.asarray(v_p), np.asarray(v_u))
+        np.testing.assert_array_equal(np.asarray(g_p), np.asarray(g_u))
+
+
 def test_exact_fused_selection_matches_update():
     """config.exact_selection='fused' (the update loop's ``rows == winner``
     predicate reused as the gather's one-hot mask) is BITWISE identical to
