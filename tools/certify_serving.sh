@@ -25,6 +25,11 @@ run --engine-mode exact
 run --engine-mode fast
 run --engine-mode approx $FOLD
 run --engine-mode approx $FOLD --approx-gather-bits 8
+# unstacked graph-reuse legs (r5: per-knob attribution WITHOUT gb8 —
+# VERDICT r4 weak #4 named the stacked-only ladder as confounded)
+run --engine-mode approx $FOLD --graph-reuse conv2
+run --engine-mode approx $FOLD --graph-reuse spatial
+# stacked composition legs
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse conv2
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse spatial
 run --engine-mode approx $FOLD --approx-gather-bits 8 --graph-reuse conv2 --reuse-k $((K / 2))
