@@ -28,6 +28,40 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 
+def ring_knn_body(xq: jax.Array, k: int, axis_name: str) -> jax.Array:
+    """The ring top-k merge, callable INSIDE any shard_map body.
+
+    xq: (B, Nl, C) — this device's resident query (and initial source)
+    shard of the globally (B, N, C) array sharded on ``axis_name``.
+    Returns (B, Nl, k) int32 GLOBAL neighbour indices for the local
+    queries. Shared by ring_knn below and the end-to-end sharded
+    inference forwards (parallel/sharded_infer.py), which embed the merge
+    in their own mapped regions so a whole round runs in ONE shard_map.
+    """
+    B, Nl, _ = xq.shape
+    Pn = jax.lax.axis_size(axis_name)
+    p = jax.lax.axis_index(axis_name)
+    src = xq
+    offset = jnp.full((1,), p * Nl, jnp.int32)
+    qq = jnp.sum(xq * xq, axis=-1, keepdims=True)  # (B, Nl, 1)
+    best_v = jnp.full((B, Nl, k), -jnp.inf, jnp.float32)
+    best_i = jnp.zeros((B, Nl, k), jnp.int32)
+    perm = [(i, (i + 1) % Pn) for i in range(Pn)]
+    for step in range(Pn):
+        ss = jnp.sum(src * src, axis=-1)[:, None, :]  # (B, 1, Ns)
+        inner = jnp.einsum("bqc,bsc->bqs", xq, src)
+        neg = 2.0 * inner - qq - ss  # (B, Nl, Ns)
+        v, i = jax.lax.top_k(neg, k)
+        ci = jnp.concatenate([best_i, i + offset[0]], axis=-1)
+        cv = jnp.concatenate([best_v, v], axis=-1)
+        best_v, sel = jax.lax.top_k(cv, k)
+        best_i = jnp.take_along_axis(ci, sel, axis=-1)
+        if step < Pn - 1:
+            src = jax.lax.ppermute(src, axis_name, perm)
+            offset = jax.lax.ppermute(offset, axis_name, perm)
+    return best_i
+
+
 @functools.partial(jax.jit, static_argnames=("k", "axis_name", "mesh"))
 def ring_knn(
     x: jax.Array, k: int, mesh: Mesh, axis_name: str = "data"
@@ -46,32 +80,8 @@ def ring_knn(
     Nl = N // Pn
     assert Nl * Pn == N and Nl >= k, (N, Pn, k)
 
-    def body(xq):
-        # xq: (B, Nl, C) — this device's resident query (and initial
-        # source) shard
-        p = jax.lax.axis_index(axis_name)
-        src = xq
-        offset = jnp.full((1,), p * Nl, jnp.int32)
-        qq = jnp.sum(xq * xq, axis=-1, keepdims=True)  # (B, Nl, 1)
-        best_v = jnp.full((B, Nl, k), -jnp.inf, jnp.float32)
-        best_i = jnp.zeros((B, Nl, k), jnp.int32)
-        perm = [(i, (i + 1) % Pn) for i in range(Pn)]
-        for step in range(Pn):
-            ss = jnp.sum(src * src, axis=-1)[:, None, :]  # (B, 1, Ns)
-            inner = jnp.einsum("bqc,bsc->bqs", xq, src)
-            neg = 2.0 * inner - qq - ss  # (B, Nl, Ns)
-            v, i = jax.lax.top_k(neg, k)
-            ci = jnp.concatenate([best_i, i + offset[0]], axis=-1)
-            cv = jnp.concatenate([best_v, v], axis=-1)
-            best_v, sel = jax.lax.top_k(cv, k)
-            best_i = jnp.take_along_axis(ci, sel, axis=-1)
-            if step < Pn - 1:
-                src = jax.lax.ppermute(src, axis_name, perm)
-                offset = jax.lax.ppermute(offset, axis_name, perm)
-        return best_i
-
     return shard_map(
-        body,
+        lambda xq: ring_knn_body(xq, k, axis_name),
         mesh=mesh,
         in_specs=P(None, axis_name, None),
         out_specs=P(None, axis_name, None),
