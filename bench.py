@@ -305,14 +305,17 @@ def main():
         results[mode], engines[mode], spreads[mode] = measure(mode)
 
     # serving-pick leg (knob-free DGCNN default runs only): the
-    # accuracy-CERTIFIED composition. The r4 trained-checkpoint ladder
-    # (ACCURACY.md r4 serving certification; evidence/r4/) demoted the
-    # r3 composition: 8-bit gathers cost −4.8 acc and graph reuse −13
-    # (conv2) / −50 (spatial) on the trained binary checkpoint, so the
-    # certified pick is PLAIN APPROX (fold 512 at partseg; Morton entry
-    # sort is automatic in approx since r4) — fast/exact ride along as
-    # parity legs. The decertified knobs remain available per-checkpoint
-    # (docs/serving.md), just not as the headline.
+    # accuracy-CERTIFIED composition. r4 demoted the r3 composition on
+    # checkpoints trained WITHOUT its semantics (gb8 −4.8 acc, spatial
+    # reuse −50 — ACCURACY.md r4); r5 recovers it with KNOB-AWARE
+    # FINETUNING (--train-knobs): the finetuned checkpoints, evaluated
+    # through the engine UNDER the composition, score at/above the base
+    # checkpoints' exact accuracy (ACCURACY.md r5 serving certification;
+    # evidence/r5/certify_*_ft.txt). The serving pick is therefore the
+    # composition again: approx + 8-bit gathers + spatial graph reuse
+    # (+ fold 512 and reuse_k=20 at partseg), served with a
+    # knob-finetuned checkpoint. Checkpoints trained without
+    # --train-knobs should serve plain approx (the r4 pick).
     serving = None
     serving_spread = None
     partseg_serving = None
@@ -329,11 +332,17 @@ def main():
         from svnet_tpu import config as _cfg
 
         def serving_knobs(task, num_points):
+            _cfg.set_approx_gather_bits(8)
+            _cfg.set_graph_reuse("spatial")
             if task == "partseg":
                 _cfg.set_approx_fold(512)
+                _cfg.set_reuse_k(20)
 
         def reset_knobs():
             _cfg.set_approx_fold(256)
+            _cfg.set_approx_gather_bits(16)
+            _cfg.set_graph_reuse("none")
+            _cfg.set_reuse_k(0)
 
         try:
             serving_knobs(args.task, args.num_points)
@@ -404,10 +413,12 @@ def main():
         )
     if serving is not None:
         out["serving_config"] = (
-            "approx (Morton entry sort)"
-            + (" + fold 512" if args.task == "partseg" else "")
-            + " — r4-certified pick; gb8/graph-reuse decertified"
-              " (ACCURACY.md r4)"
+            "approx + gb8 + spatial reuse"
+            + (" + fold 512 + reuse_k 20" if args.task == "partseg" else "")
+            + " — r5 pick, certified on KNOB-FINETUNED checkpoints"
+              " (--train-knobs; ACCURACY.md r5, evidence/r5/certify_*_ft"
+              ".txt); checkpoints trained without --train-knobs should"
+              " serve plain approx (the r4 pick)"
         )
     # non-default serving knobs self-describe the measurement
     if args.graph_reuse and args.graph_reuse != "none":
